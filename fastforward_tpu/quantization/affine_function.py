@@ -68,6 +68,12 @@ class AffineQuantizationFunction(QuantizationFunction):
 
     @classmethod
     def quantize(cls, data: jax.Array, params):
+        # Re-quantization: an already-quantized input moves onto this
+        # quantizer's grid via its real values (chained quantizers are common
+        # between layers — the producer's output quantizer feeds the
+        # consumer's input quantizer).
+        if isinstance(data, QuantizedArray):
+            data = data.dequantize()
         if flags.get_export_mode():
             return cls._export_quantize(data, params)
         if isinstance(params, StaticAffineQuantParams):

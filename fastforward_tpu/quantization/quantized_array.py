@@ -101,6 +101,27 @@ class QuantizedArray:
     def with_context(self, context: QuantizationContext) -> "QuantizedArray":
         return QuantizedArray(self._data, context)
 
+    def __jax_array__(self) -> jax.Array:
+        """Implicit conversion used when a QuantizedArray reaches a plain
+        jnp/lax operation.
+
+        Mirrors the reference's dequantization fallback
+        (`quantized_tensor.py:534-549`): under strict quantization this is an
+        error (the op would silently run unquantized); otherwise the array
+        dequantizes transparently.
+        """
+        from fastforward_tpu import flags
+        from fastforward_tpu.exceptions import QuantizationError
+
+        if flags.get_strict_quantization():
+            raise QuantizationError(
+                "A QuantizedArray reached a non-quantized operation, which "
+                "would implicitly dequantize it. Use the quantized ops in "
+                "fastforward_tpu.ops, call .dequantize() explicitly, or "
+                "disable strict quantization."
+            )
+        return self.dequantize()
+
     # -- python operators → quantized-op layer -----------------------------
 
     def _binop(self, name: str, other: Any, reverse: bool = False):

@@ -91,14 +91,35 @@ __all__ = [
 ]
 
 
+_LAZY_SUBMODULES = {
+    "ops", "nn", "mpath", "range_setting", "kernels", "models",
+    "parallel", "serving", "export", "algorithms", "quant_init", "testing",
+    "overrides",
+}
+
+# Top-level convenience names resolved lazily from heavier subsystems
+# (parity with the reference `fastforward` namespace: ff.quantize_model,
+# ff.estimate_ranges, ff.find_quantizers, ...).
+_LAZY_NAMES = {
+    "quantize_model": ("fastforward_tpu.nn", "quantize_model"),
+    "surrogate_quantized_module": ("fastforward_tpu.nn", "surrogate_quantized_module"),
+    "named_quantizers": ("fastforward_tpu.nn", "named_quantizers"),
+    "summarize_quantizers": ("fastforward_tpu.nn", "summarize_quantizers"),
+    "estimate_ranges": ("fastforward_tpu.range_setting", "estimate_ranges"),
+    "find_quantizers": ("fastforward_tpu.quant_init", "find_quantizers"),
+    "QuantizationConfig": ("fastforward_tpu.quant_init", "QuantizationConfig"),
+    "disable_quantization": ("fastforward_tpu.overrides", "disable_quantization"),
+    "enable_quantization": ("fastforward_tpu.overrides", "enable_quantization"),
+    "sqnr": ("fastforward_tpu.utils.metrics", "sqnr"),
+}
+
+
 def __getattr__(name):
-    # Lazy submodule access for heavier subsystems (ops pulls in the full
-    # operator table; nn pulls in flax).
     import importlib
 
-    if name in {
-        "ops", "nn", "mpath", "range_setting", "kernels", "models",
-        "parallel", "serving", "export", "algorithms", "quant_init", "testing",
-    }:
+    if name in _LAZY_SUBMODULES:
         return importlib.import_module(f"fastforward_tpu.{name}")
+    if name in _LAZY_NAMES:
+        module_name, attr = _LAZY_NAMES[name]
+        return getattr(importlib.import_module(module_name), attr)
     raise AttributeError(f"module 'fastforward_tpu' has no attribute {name!r}")

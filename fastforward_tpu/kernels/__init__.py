@@ -1,0 +1,22 @@
+from fastforward_tpu.kernels.matmul import (
+    matmul_w4a8,
+    matmul_w4a8_reference,
+    matmul_w4a16,
+    matmul_w4a16_reference,
+    matmul_w8a8,
+    matmul_w8a8_reference,
+    quantize_rowwise,
+)
+from fastforward_tpu.kernels.packing import pack_int4, unpack_int4
+
+__all__ = [
+    "matmul_w8a8",
+    "matmul_w8a8_reference",
+    "matmul_w4a8",
+    "matmul_w4a8_reference",
+    "matmul_w4a16",
+    "matmul_w4a16_reference",
+    "quantize_rowwise",
+    "pack_int4",
+    "unpack_int4",
+]

@@ -1,0 +1,345 @@
+"""Fused dequantize-matmul Pallas kernels.
+
+The execution tier replacing the reference's fake-quant hot path (SURVEY §7:
+"Pallas fused dequant-matmul W8A8 and weight-only INT4 per-group"). Instead of
+dequantize → HBM → matmul (two HBM round-trips), the kernels read the low-bit
+weights once, dequantize in VMEM registers and feed the MXU directly:
+
+  - `matmul_w8a8`: int8 activations (per-row scale) × int8 weights (per-column
+    scale) → int32 MXU accumulate → fp epilogue scaling.
+  - `matmul_w4a8`: packed-int4 per-group weights (g along K) × int8
+    activations: per-group int8×int8 MXU dot, fp32 per-group scale-and-add.
+  - `matmul_w4a16`: packed-int4 per-group weights dequantized to bf16
+    in-kernel × bf16 activations (weight-only path).
+
+Each kernel has an XLA reference implementation (`*_reference`) used for CPU
+tests and as the numerical oracle. On non-TPU backends the public entry
+points fall back to the reference implementation.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fastforward_tpu.kernels.packing import unpack_int4
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+def _round_block(value: int, multiple: int, cap: int) -> int:
+    value = min(value, cap)
+    return max(multiple, (value // multiple) * multiple)
+
+
+# =============================================================================
+# W8A8
+# =============================================================================
+
+
+def matmul_w8a8_reference(
+    x_q: jax.Array, x_scale: jax.Array, w_q: jax.Array, w_scale: jax.Array,
+    bias: Optional[jax.Array] = None, out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    acc = jax.lax.dot(
+        x_q.astype(jnp.int32), w_q.astype(jnp.int32),
+        precision=None, preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * x_scale[:, None] * w_scale[None, :]
+    if bias is not None:
+        out = out + bias
+    return out.astype(out_dtype)
+
+
+def _w8a8_kernel(x_ref, xs_ref, w_ref, ws_ref, out_ref, acc_ref, *, n_k: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot(
+        x_ref[:], w_ref[:], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(k == n_k - 1)
+    def _epilogue():
+        scaled = acc_ref[:].astype(jnp.float32) * xs_ref[:] * ws_ref[:]
+        out_ref[:] = scaled.astype(out_ref.dtype)
+
+
+def matmul_w8a8(
+    x_q: jax.Array,
+    x_scale: jax.Array,
+    w_q: jax.Array,
+    w_scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+) -> jax.Array:
+    """``(x_q @ w_q) * x_scale[:,None] * w_scale[None,:] (+bias)``.
+
+    x_q: (M, K) int8, x_scale: (M,) f32 per-row (dynamic per-token),
+    w_q: (K, N) int8, w_scale: (N,) f32 per-out-channel.
+    """
+    M, K = x_q.shape
+    K2, N = w_q.shape
+    assert K == K2
+    if not _on_tpu() or M < 8:
+        return matmul_w8a8_reference(x_q, x_scale, w_q, w_scale, bias, out_dtype)
+
+    bm = _round_block(block_m, 8, M)
+    bn = _round_block(block_n, 128, N)
+    bk = _round_block(block_k, 128, K)
+    n_k = pl.cdiv(K, bk)
+
+    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), n_k)
+    out = pl.pallas_call(
+        functools.partial(_w8a8_kernel, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N + M * N * 2,
+            transcendentals=0,
+        ),
+    )(x_q, x_scale.reshape(M, 1).astype(jnp.float32), w_q,
+      w_scale.reshape(1, N).astype(jnp.float32))
+    if bias is not None:
+        out = (out.astype(jnp.float32) + bias).astype(out_dtype)
+    return out
+
+
+# =============================================================================
+# W4A8: packed int4 per-group weights, int8 activations
+# =============================================================================
+
+
+def matmul_w4a8_reference(
+    x_q: jax.Array, x_scale: jax.Array, w_packed: jax.Array, w_scale: jax.Array,
+    bias: Optional[jax.Array] = None, group_size: int = 128, out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Oracle: unpack, per-group int32 dots, fp32 scale-and-sum."""
+    M, K = x_q.shape
+    N = w_packed.shape[1]
+    n_groups = K // group_size
+    w = unpack_int4(w_packed, group_size)  # (K, N) int8
+    xg = x_q.reshape(M, n_groups, group_size).astype(jnp.int32)
+    wg = w.reshape(n_groups, group_size, N).astype(jnp.int32)
+    acc = jnp.einsum("mgk,gkn->gmn", xg, wg)  # int32 (g, M, N)
+    out = jnp.sum(
+        acc.astype(jnp.float32) * w_scale.astype(jnp.float32)[:, None, :], axis=0
+    )
+    out = out * x_scale[:, None]
+    if bias is not None:
+        out = out + bias
+    return out.astype(out_dtype)
+
+
+def _w4a8_kernel(x_ref, xs_ref, wp_ref, ws_ref, out_ref, acc_ref, *, n_k: int, half: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Unpack one K-group of weights: (half, bn) packed → (2*half, bn) int8.
+    packed = wp_ref[:]
+    low = ((packed << 4).astype(jnp.int8) >> 4).astype(jnp.int8)
+    high = (packed >> 4).astype(jnp.int8)
+    w = jnp.concatenate([low, high], axis=0)
+
+    group_acc = jax.lax.dot(x_ref[:], w, preferred_element_type=jnp.int32)
+    acc_ref[:] += group_acc.astype(jnp.float32) * ws_ref[:]
+
+    @pl.when(k == n_k - 1)
+    def _epilogue():
+        out_ref[:] = (acc_ref[:] * xs_ref[:]).astype(out_ref.dtype)
+
+
+def matmul_w4a8(
+    x_q: jax.Array,
+    x_scale: jax.Array,
+    w_packed: jax.Array,
+    w_scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 256,
+    block_n: int = 512,
+) -> jax.Array:
+    """Per-group W4A8 matmul.
+
+    x_q: (M, K) int8 with per-row scale x_scale (M,);
+    w_packed: (K//2, N) int8 (see `packing.pack_int4`);
+    w_scale: (K//group_size, N) per-group fp scale.
+    """
+    M, K = x_q.shape
+    N = w_packed.shape[1]
+    n_groups = K // group_size
+    assert w_scale.shape == (n_groups, N), (w_scale.shape, (n_groups, N))
+    if not _on_tpu():
+        return matmul_w4a8_reference(
+            x_q, x_scale, w_packed, w_scale, bias, group_size, out_dtype
+        )
+
+    half = group_size // 2
+    bm = _round_block(block_m, 8, max(M, 8))
+    bn = _round_block(block_n, 128, N)
+    n_k = n_groups  # one grid step per K-group
+
+    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), n_k)
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel, n_k=n_k, half=half),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, group_size), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((half, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N // 2 + M * N * 2,
+            transcendentals=0,
+        ),
+    )(x_q, x_scale.reshape(M, 1).astype(jnp.float32), w_packed,
+      w_scale.astype(jnp.float32))
+    if bias is not None:
+        out = (out.astype(jnp.float32) + bias).astype(out_dtype)
+    return out
+
+
+# =============================================================================
+# W4A16: packed int4 per-group weights, bf16 activations (weight-only)
+# =============================================================================
+
+
+def matmul_w4a16_reference(
+    x: jax.Array, w_packed: jax.Array, w_scale: jax.Array,
+    bias: Optional[jax.Array] = None, group_size: int = 128, out_dtype=None,
+) -> jax.Array:
+    K = x.shape[-1]
+    N = w_packed.shape[1]
+    n_groups = K // group_size
+    w = unpack_int4(w_packed, group_size).astype(jnp.float32)
+    w = w.reshape(n_groups, group_size, N) * w_scale.astype(jnp.float32)[:, None, :]
+    w = w.reshape(K, N).astype(x.dtype)
+    out = x @ w
+    if bias is not None:
+        out = out + bias
+    return out.astype(out_dtype or x.dtype)
+
+
+def _w4a16_kernel(x_ref, wp_ref, ws_ref, out_ref, acc_ref, *, n_k: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = wp_ref[:]
+    low = ((packed << 4).astype(jnp.int8) >> 4).astype(jnp.int8)
+    high = (packed >> 4).astype(jnp.int8)
+    w = jnp.concatenate([low, high], axis=0).astype(jnp.bfloat16)
+    w = w * ws_ref[:].astype(jnp.bfloat16)
+
+    acc_ref[:] += jax.lax.dot(
+        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == n_k - 1)
+    def _epilogue():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def matmul_w4a16(
+    x: jax.Array,
+    w_packed: jax.Array,
+    w_scale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    group_size: int = 128,
+    out_dtype=None,
+    block_m: int = 256,
+    block_n: int = 512,
+) -> jax.Array:
+    """Weight-only INT4 per-group matmul: dequantize to bf16 in VMEM, MXU dot."""
+    M, K = x.shape
+    N = w_packed.shape[1]
+    n_groups = K // group_size
+    out_dtype = out_dtype or x.dtype
+    if not _on_tpu():
+        return matmul_w4a16_reference(x, w_packed, w_scale, bias, group_size, out_dtype)
+
+    half = group_size // 2
+    bm = _round_block(block_m, 8, max(M, 8))
+    bn = _round_block(block_n, 128, N)
+    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), n_groups)
+    out = pl.pallas_call(
+        functools.partial(_w4a16_kernel, n_k=n_groups),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, group_size), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((half, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N // 2 + M * N * 2,
+            transcendentals=0,
+        ),
+    )(x, w_packed, w_scale)
+    if bias is not None:
+        out = (out.astype(jnp.float32) + bias).astype(out_dtype)
+    return out
+
+
+# =============================================================================
+# Dynamic activation quantization (XLA — fuses into neighbors)
+# =============================================================================
+
+
+def quantize_rowwise(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int8 quantization: returns (x_q int8, scale (M,) f32).
+
+    Pure XLA on purpose: a single fused reduce+scale pass that XLA merges
+    with the producer; a Pallas kernel would add nothing (bandwidth-bound,
+    no reuse).
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -128, 127)
+    return x_q.astype(jnp.int8), scale

@@ -1,0 +1,43 @@
+"""INT4 packing for weight-only quantization.
+
+Two int4 grid values share one int8 byte. Layout is chosen for the TPU
+kernel's unpack path (`kernels/matmul.py`): within every K-group of
+``2*half`` rows, packed row ``i`` holds original row ``i`` in its low nibble
+and original row ``i + half`` in its high nibble. Unpacking a packed tile is
+then two arithmetic shifts and a concat — the rows come out in original
+order, no interleave/transpose needed (dot products are invariant to the
+row permutation anyway, but identity order keeps scales aligned).
+
+SURVEY §7 "hard parts": INT4 packing affects checkpoint format and dequant
+kernels; this module is the single source of truth for the layout.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_int4(w: jax.Array, group_size: int = 128) -> jax.Array:
+    """Pack int4 grid values (int8 storage, range [-8, 7]) along axis 0.
+
+    ``w``: (K, N) int8/int32 grid values; K must be divisible by
+    ``group_size`` and ``group_size`` by 2. Returns (K//2, N) int8.
+    """
+    K, N = w.shape
+    if K % group_size != 0:
+        raise ValueError(f"K={K} not divisible by group_size={group_size}")
+    half = group_size // 2
+    w = w.astype(jnp.int8).reshape(K // group_size, group_size, N)
+    low = w[:, :half]
+    high = w[:, half:]
+    packed = (low & 0xF) | (high << 4)
+    return packed.reshape(K // 2, N).astype(jnp.int8)
+
+
+def unpack_int4(packed: jax.Array, group_size: int = 128) -> jax.Array:
+    """Inverse of :func:`pack_int4`: (K//2, N) int8 → (K, N) int8 in [-8, 7]."""
+    K2, N = packed.shape
+    half = group_size // 2
+    p = packed.reshape(K2 // half, half, N)
+    low = ((p << 4).astype(jnp.int8) >> 4).astype(jnp.int8)  # sign-extend
+    high = (p >> 4).astype(jnp.int8)
+    return jnp.concatenate([low, high], axis=1).reshape(2 * K2, N)

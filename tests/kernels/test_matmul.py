@@ -1,0 +1,129 @@
+"""Kernel numerics tests (reference implementations on CPU; the same
+assertions run against the Pallas kernels on TPU via bench/verify)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastforward_tpu.kernels import (
+    matmul_w4a8_reference,
+    matmul_w4a16_reference,
+    matmul_w8a8_reference,
+    pack_int4,
+    quantize_rowwise,
+    unpack_int4,
+)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randint(-8, 8, size=(256, 64)), dtype=jnp.int8)
+    packed = pack_int4(w, group_size=128)
+    assert packed.shape == (128, 64)
+    restored = unpack_int4(packed, group_size=128)
+    np.testing.assert_array_equal(np.asarray(restored), np.asarray(w))
+
+
+def test_pack_rejects_bad_k():
+    with pytest.raises(ValueError):
+        pack_int4(jnp.zeros((100, 8), jnp.int8), group_size=128)
+
+
+def test_quantize_rowwise():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    x_q, scale = quantize_rowwise(x)
+    assert x_q.dtype == jnp.int8
+    dq = np.asarray(x_q, dtype=np.float32) * np.asarray(scale)[:, None]
+    np.testing.assert_allclose(dq, np.asarray(x), atol=np.asarray(scale).max() / 2 + 1e-6)
+    # max magnitude maps to ±127
+    assert np.abs(np.asarray(x_q)).max() == 127
+
+
+def test_w8a8_matches_float_matmul():
+    rng = np.random.RandomState(1)
+    x = rng.randn(16, 64).astype(np.float32)
+    w = rng.randn(64, 32).astype(np.float32)
+
+    x_q, x_scale = quantize_rowwise(jnp.asarray(x))
+    # per-channel weight quant
+    w_scale = np.abs(w).max(axis=0) / 127.0
+    w_q = jnp.asarray(np.clip(np.round(w / w_scale[None, :]), -128, 127), dtype=jnp.int8)
+
+    out = matmul_w8a8_reference(x_q, x_scale, w_q, jnp.asarray(w_scale), out_dtype=jnp.float32)
+    expected = x @ w
+    rel = np.abs(np.asarray(out) - expected) / (np.abs(expected).max())
+    assert rel.max() < 0.02
+
+
+def _quantize_w4_groups(w: np.ndarray, group_size=128):
+    K, N = w.shape
+    n_groups = K // group_size
+    wg = w.reshape(n_groups, group_size, N)
+    scale = np.abs(wg).max(axis=1) / 7.0 + 1e-12  # (g, N)
+    q = np.clip(np.round(wg / scale[:, None, :]), -8, 7).astype(np.int8)
+    return q.reshape(K, N), scale.astype(np.float32)
+
+
+def _dequant_w4(w_q: np.ndarray, w_scale: np.ndarray, group_size=128) -> np.ndarray:
+    K, N = w_q.shape
+    wg = w_q.reshape(K // group_size, group_size, N).astype(np.float32)
+    return (wg * w_scale[:, None, :]).reshape(K, N)
+
+
+def test_w4a16_exact_vs_dequantized_oracle():
+    # The kernel must match x @ dequant(w) exactly (same math, fused layout)
+    rng = np.random.RandomState(2)
+    x = rng.randn(8, 256).astype(np.float32)
+    w = rng.randn(256, 64).astype(np.float32)
+    w_q, w_scale = _quantize_w4_groups(w)
+    packed = pack_int4(jnp.asarray(w_q), group_size=128)
+
+    out = matmul_w4a16_reference(
+        jnp.asarray(x), packed, jnp.asarray(w_scale), out_dtype=jnp.float32
+    )
+    oracle = x @ _dequant_w4(w_q, w_scale)
+    np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-4, atol=1e-4)
+    # And stays within int4 noise of the true product
+    rel = np.abs(np.asarray(out) - x @ w).max() / np.abs(x @ w).max()
+    assert rel < 0.2
+
+
+def test_w4a8_exact_vs_dequantized_oracle():
+    rng = np.random.RandomState(3)
+    x = rng.randn(8, 256).astype(np.float32)
+    w = rng.randn(256, 64).astype(np.float32)
+    x_q, x_scale = quantize_rowwise(jnp.asarray(x))
+    w_q, w_scale = _quantize_w4_groups(w)
+    packed = pack_int4(jnp.asarray(w_q), group_size=128)
+
+    out = matmul_w4a8_reference(
+        x_q, x_scale, packed, jnp.asarray(w_scale), out_dtype=jnp.float32
+    )
+    x_dq = np.asarray(x_q, dtype=np.float32) * np.asarray(x_scale)[:, None]
+    oracle = x_dq @ _dequant_w4(w_q, w_scale)
+    np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-4, atol=1e-4)
+    rel = np.abs(np.asarray(out) - x @ w).max() / np.abs(x @ w).max()
+    assert rel < 0.2
+
+
+def test_w4a8_bias():
+    rng = np.random.RandomState(4)
+    x = rng.randn(4, 128).astype(np.float32)
+    w = rng.randn(128, 32).astype(np.float32)
+    b = rng.randn(32).astype(np.float32)
+    x_q, x_scale = quantize_rowwise(jnp.asarray(x))
+    w_q, w_scale = _quantize_w4_groups(w)
+    packed = pack_int4(jnp.asarray(w_q), group_size=128)
+    out = matmul_w4a8_reference(
+        x_q, x_scale, packed, jnp.asarray(w_scale), bias=jnp.asarray(b),
+        out_dtype=jnp.float32,
+    )
+    no_bias = matmul_w4a8_reference(
+        x_q, x_scale, packed, jnp.asarray(w_scale), out_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(out) - np.asarray(no_bias),
+        np.broadcast_to(b[None, :], out.shape),
+        atol=5e-3,
+    )

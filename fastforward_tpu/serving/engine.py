@@ -1,0 +1,291 @@
+"""Execution-tier serving engine for the Llama family.
+
+New TPU capability (SURVEY §2.9: absent in the reference). The simulation
+tier (QuantizedModule models) QDQs bf16 weights every call — faithful to the
+reference's fake-quant semantics but memory-bound at bf16. This engine
+*freezes* a quantized model into true low-bit storage (the analog of
+reference `quantization/freeze.py`, done once at load):
+
+  - W8A8: int8 weights, per-out-channel scales; XLA int8 MXU dots with
+    dynamic per-token activation quantization.
+  - W4A8 / W4A16: packed-int4 per-group (g=128) weights; Pallas fused
+    dequant-matmul kernels.
+  - INT8 KV cache (per-token-per-head scales), quantized at append.
+
+Everything is a pure function over a params pytree → jit/scan/pjit-friendly;
+prefill and the full multi-step decode loop each compile to one XLA program.
+"""
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from fastforward_tpu.kernels import (
+    matmul_w4a8,
+    matmul_w4a16,
+    matmul_w8a8,
+    pack_int4,
+    quantize_rowwise,
+)
+from fastforward_tpu.models.llama import LlamaConfig, apply_rope, rope_frequencies
+from fastforward_tpu.serving.kv_cache import KVCache
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantLinear:
+    """Frozen quantized linear weights (layout (in, out))."""
+
+    data: jax.Array  # int8 (K, N) for w8; packed int8 (K//2, N) for w4
+    scale: jax.Array  # (N,) for w8; (K//G, N) for w4
+    mode: str = dataclasses.field(metadata=dict(static=True), default="w8a8")
+    group_size: int = dataclasses.field(metadata=dict(static=True), default=128)
+
+    def __call__(self, x: jax.Array, out_dtype=jnp.bfloat16) -> jax.Array:
+        """Apply y = x @ W with the mode's kernel. x: (..., K)."""
+        lead = x.shape[:-1]
+        K = x.shape[-1]
+        x2 = x.reshape(-1, K)
+        if self.mode == "w8a8":
+            x_q, x_s = quantize_rowwise(x2)
+            out = matmul_w8a8(x_q, x_s, self.data, self.scale, out_dtype=out_dtype)
+        elif self.mode == "w4a8":
+            x_q, x_s = quantize_rowwise(x2)
+            out = matmul_w4a8(
+                x_q, x_s, self.data, self.scale,
+                group_size=self.group_size, out_dtype=out_dtype,
+            )
+        elif self.mode == "w4a16":
+            out = matmul_w4a16(
+                x2.astype(jnp.bfloat16), self.data, self.scale,
+                group_size=self.group_size, out_dtype=out_dtype,
+            )
+        else:
+            raise ValueError(f"unknown mode {self.mode}")
+        return out.reshape(*lead, -1)
+
+
+def quantize_linear(w: jax.Array, mode: str, group_size: int = 128) -> QuantLinear:
+    """Quantize a dense (K, N) weight into frozen storage."""
+    w = jnp.asarray(w, jnp.float32)
+    K, N = w.shape
+    if mode == "w8a8":
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(w / scale[None, :]), -128, 127).astype(jnp.int8)
+        return QuantLinear(q, scale.astype(jnp.float32), mode="w8a8")
+    if mode in ("w4a8", "w4a16"):
+        g = group_size if K % group_size == 0 else K
+        wg = w.reshape(K // g, g, N)
+        scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=1) / 7.0, 1e-8)  # (K//g, N)
+        q = jnp.clip(jnp.round(wg / scale[:, None, :]), -8, 7).astype(jnp.int8)
+        packed = pack_int4(q.reshape(K, N), group_size=g)
+        return QuantLinear(packed, scale.astype(jnp.float32), mode=mode, group_size=g)
+    raise ValueError(f"unknown mode {mode}")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ServingLayer:
+    q_proj: QuantLinear
+    k_proj: QuantLinear
+    v_proj: QuantLinear
+    o_proj: QuantLinear
+    gate_proj: QuantLinear
+    up_proj: QuantLinear
+    down_proj: QuantLinear
+    input_norm: jax.Array
+    post_norm: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ServingParams:
+    embedding: jax.Array  # (vocab, hidden) bf16
+    layers: tuple
+    final_norm: jax.Array
+    lm_head: Optional[QuantLinear]  # None => tied embeddings
+
+
+def freeze_llama(model, mode: str = "w4a8", group_size: int = 128) -> ServingParams:
+    """Convert an (NNX) LlamaForCausalLM into frozen serving params."""
+    layers = []
+    for block in model.layers:
+        attn, mlp = block.self_attn, block.mlp
+        layers.append(
+            ServingLayer(
+                q_proj=quantize_linear(attn.q_proj.kernel.value, mode, group_size),
+                k_proj=quantize_linear(attn.k_proj.kernel.value, mode, group_size),
+                v_proj=quantize_linear(attn.v_proj.kernel.value, mode, group_size),
+                o_proj=quantize_linear(attn.o_proj.kernel.value, mode, group_size),
+                gate_proj=quantize_linear(mlp.gate_proj.kernel.value, mode, group_size),
+                up_proj=quantize_linear(mlp.up_proj.kernel.value, mode, group_size),
+                down_proj=quantize_linear(mlp.down_proj.kernel.value, mode, group_size),
+                input_norm=jnp.asarray(block.input_layernorm.scale.value, jnp.bfloat16),
+                post_norm=jnp.asarray(block.post_attention_layernorm.scale.value, jnp.bfloat16),
+            )
+        )
+    lm_head = None
+    if model.lm_head is not None:
+        lm_head = quantize_linear(model.lm_head.kernel.value, mode, group_size)
+    return ServingParams(
+        embedding=jnp.asarray(model.embed_tokens.embedding.value, jnp.bfloat16),
+        layers=tuple(layers),
+        final_norm=jnp.asarray(model.norm.scale.value, jnp.bfloat16),
+        lm_head=lm_head,
+    )
+
+
+def random_serving_params(
+    config: LlamaConfig, mode: str = "w4a8", group_size: int = 128, seed: int = 0
+) -> ServingParams:
+    """Random-weight serving params built layer-by-layer (no full bf16 model
+    is ever materialized — required to stage an 8B model on one 16GB chip)."""
+    h, inter = config.hidden_size, config.intermediate_size
+    nh, nkv, d = config.num_heads, config.num_kv_heads, config.head_dim
+    key = jax.random.PRNGKey(seed)
+
+    def ql(key, k_dim, n_dim):
+        # Directly fabricate quantized storage — no fp32 intermediate.
+        k1, k2 = jax.random.split(key)
+        if mode == "w8a8":
+            data = jax.random.randint(k1, (k_dim, n_dim), -127, 128, dtype=jnp.int8)
+            scale = jnp.full((n_dim,), 0.02 / np.sqrt(k_dim), jnp.float32)
+            return QuantLinear(data, scale, mode="w8a8")
+        g = group_size if k_dim % group_size == 0 else k_dim
+        q = jax.random.randint(k1, (k_dim, n_dim), -8, 8, dtype=jnp.int8)
+        packed = pack_int4(q, group_size=g)
+        scale = jnp.full((k_dim // g, n_dim), 0.25 / np.sqrt(k_dim), jnp.float32)
+        return QuantLinear(packed, scale, mode=mode, group_size=g)
+
+    layers = []
+    for i in range(config.num_layers):
+        key, *ks = jax.random.split(key, 8)
+        layers.append(
+            ServingLayer(
+                q_proj=ql(ks[0], h, nh * d),
+                k_proj=ql(ks[1], h, nkv * d),
+                v_proj=ql(ks[2], h, nkv * d),
+                o_proj=ql(ks[3], nh * d, h),
+                gate_proj=ql(ks[4], h, inter),
+                up_proj=ql(ks[5], h, inter),
+                down_proj=ql(ks[6], inter, h),
+                input_norm=jnp.ones((h,), jnp.bfloat16),
+                post_norm=jnp.ones((h,), jnp.bfloat16),
+            )
+        )
+    key, k1, k2 = jax.random.split(key, 3)
+    embedding = (jax.random.normal(k1, (config.vocab_size, h), jnp.bfloat16) * 0.02)
+    lm_head = None if config.tie_embeddings else ql(k2, h, config.vocab_size)
+    return ServingParams(
+        embedding=embedding,
+        layers=tuple(layers),
+        final_norm=jnp.ones((h,), jnp.bfloat16),
+        lm_head=lm_head,
+    )
+
+
+# --- functional forward ------------------------------------------------------
+
+
+def _rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    out = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return out.astype(dt) * weight
+
+
+def _attention(q, k, v, mask):
+    """(B, H, T, D) attention with additive mask; fp32 softmax."""
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", weights, v)
+
+
+def serving_forward(
+    params: ServingParams,
+    config: LlamaConfig,
+    input_ids: jax.Array,
+    cache: Optional[KVCache] = None,
+    positions: Optional[jax.Array] = None,
+):
+    """One forward pass; returns (logits, new_cache)."""
+    B, T = input_ids.shape
+    nh, nkv, d = config.num_heads, config.num_kv_heads, config.head_dim
+    inv_freq = rope_frequencies(config)
+
+    if positions is None:
+        positions = jnp.arange(T)
+        if cache is not None:
+            positions = positions + cache.length
+
+    x = params.embedding[input_ids]  # (B, T, H) bf16
+
+    def split_heads(t, n):
+        return t.reshape(B, T, n, d).transpose(0, 2, 1, 3)
+
+    new_layers = []
+    for i, layer in enumerate(params.layers):
+        h = _rms_norm(x, layer.input_norm, config.rms_norm_eps)
+        q = split_heads(layer.q_proj(h), nh)
+        k = split_heads(layer.k_proj(h), nkv)
+        v = split_heads(layer.v_proj(h), nkv)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+
+        if cache is not None:
+            lc = cache.layer(i).append(k, v, positions)
+            k_all, v_all = lc.read(dtype=x.dtype)
+            mask = lc.attention_mask(positions)
+            new_layers.append(lc)
+        else:
+            k_all, v_all = k, v
+            s = jnp.arange(T)
+            causal = s[None, None, None, :] <= positions.reshape(1, 1, T, 1)
+            mask = jnp.where(causal, 0.0, -1e30).astype(jnp.float32)
+
+        groups = nh // nkv
+        if groups > 1:
+            k_all = jnp.repeat(k_all, groups, axis=1)
+            v_all = jnp.repeat(v_all, groups, axis=1)
+        attn = _attention(q, k_all, v_all, mask)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * d)
+        x = x + layer.o_proj(attn)
+
+        h = _rms_norm(x, layer.post_norm, config.rms_norm_eps)
+        gated = jax.nn.silu(layer.gate_proj(h).astype(jnp.float32)).astype(x.dtype)
+        x = x + layer.down_proj(gated * layer.up_proj(h))
+
+    x = _rms_norm(x, params.final_norm, config.rms_norm_eps)
+    if params.lm_head is not None:
+        logits = params.lm_head(x, out_dtype=jnp.float32)
+    else:
+        logits = jnp.einsum("bth,vh->btv", x, params.embedding).astype(jnp.float32)
+
+    if cache is not None:
+        cache = cache.with_layers(new_layers, advance=T)
+    return logits, cache
+
+
+def make_decode_loop(config: LlamaConfig, num_steps: int):
+    """Build a jitted greedy-decode loop: (params, cache, first_token) →
+    (tokens (B, num_steps), final cache). The whole loop is one XLA program
+    (lax.scan), so relay/dispatch overhead amortizes across steps."""
+
+    def loop(params: ServingParams, cache: KVCache, token: jax.Array):
+        def step(carry, _):
+            cache, token = carry
+            logits, cache = serving_forward(params, config, token, cache)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(token.dtype)[:, None]
+            return (cache, nxt), nxt[:, 0]
+
+        (cache, _), tokens = jax.lax.scan(step, (cache, token), None, length=num_steps)
+        return tokens.T, cache
+
+    return jax.jit(loop, donate_argnums=(1,))

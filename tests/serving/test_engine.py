@@ -78,9 +78,11 @@ def test_decode_matches_prefill(tiny):
     cache = _cache(config, 2, quantized=False)
     _, cache = serving_forward(params, config, ids[:, :4], cache=cache)
     step_logits, cache = serving_forward(params, config, ids[:, 4:5], cache=cache)
+    # bf16 accumulation order differs between the padded-cache attention and
+    # the dense-causal attention; allow small absolute noise.
     np.testing.assert_allclose(
         np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, 4]),
-        rtol=5e-2, atol=5e-2,
+        atol=0.12,
     )
 
 

@@ -1,0 +1,8 @@
+from fastforward_tpu.parallel.mesh import make_mesh
+from fastforward_tpu.parallel.sharding import (
+    shard_kv_cache,
+    shard_serving_params,
+    serving_param_spec,
+)
+
+__all__ = ["make_mesh", "shard_serving_params", "shard_kv_cache", "serving_param_spec"]

@@ -1,0 +1,190 @@
+"""Layer-stacked serving forward: `lax.scan` over the layer dimension.
+
+All decoder layers share one shape, so their frozen weights stack into a
+single pytree with a leading L axis and the whole depth runs as one scanned
+layer body. Compile time becomes O(1) in depth — required to stage 32-80
+layer models quickly — and XLA double-buffers the per-layer weight fetches
+through the scan.
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastforward_tpu.models.llama import LlamaConfig, apply_rope, rope_frequencies
+from fastforward_tpu.serving.engine import ServingParams, _attention, _rms_norm
+from fastforward_tpu.serving.kv_cache import NEG_INF, _quantize_kv
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StackedKVCache:
+    """Whole-model KV cache as stacked arrays (L, B, n_kv, S, D)."""
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: Optional[jax.Array]  # (L, B, n_kv, S) when int8
+    v_scale: Optional[jax.Array]
+    length: jax.Array  # scalar int32
+
+    @staticmethod
+    def create(num_layers, batch_size, max_len, num_kv_heads, head_dim,
+               dtype=jnp.bfloat16, quantized=True):
+        shape = (num_layers, batch_size, num_kv_heads, max_len, head_dim)
+        if quantized:
+            return StackedKVCache(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.zeros(shape[:4], jnp.float32),
+                v_scale=jnp.zeros(shape[:4], jnp.float32),
+                length=jnp.zeros((), jnp.int32),
+            )
+        return StackedKVCache(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            k_scale=None, v_scale=None, length=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def is_quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+
+def stack_serving_layers(params: ServingParams):
+    """Stack per-layer weight pytrees along a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params.layers)
+
+
+def serving_forward_stacked(
+    params: ServingParams,
+    stacked_layers,
+    config: LlamaConfig,
+    input_ids: jax.Array,
+    cache: Optional[StackedKVCache] = None,
+    positions: Optional[jax.Array] = None,
+):
+    """Forward with `lax.scan` over layers. Returns (logits, new_cache)."""
+    B, T = input_ids.shape
+    nh, nkv, d = config.num_heads, config.num_kv_heads, config.head_dim
+    inv_freq = rope_frequencies(config)
+    eps = config.rms_norm_eps
+
+    if positions is None:
+        positions = jnp.arange(T)
+        if cache is not None:
+            positions = positions + cache.length
+
+    x = params.embedding[input_ids]
+
+    if cache is not None:
+        if positions.ndim == 1:
+            starts = jnp.broadcast_to(positions[0], (B,))
+        else:
+            starts = positions[:, 0]
+        s_idx = jnp.arange(cache.max_len)
+        pos2 = positions if positions.ndim == 2 else positions[None, :]
+        mask = jnp.where(
+            s_idx[None, None, None, :] <= pos2[:, None, :, None], 0.0, NEG_INF
+        ).astype(jnp.float32)
+    else:
+        s = jnp.arange(T)
+        pos2 = positions if positions.ndim == 2 else positions[None, :]
+        causal = s[None, None, None, :] <= pos2[:, None, :, None]
+        mask = jnp.where(causal, 0.0, NEG_INF).astype(jnp.float32)
+
+    def split_heads(t, n):
+        return t.reshape(B, T, n, d).transpose(0, 2, 1, 3)
+
+    def write(cache_b, new_b, idx):
+        return jax.lax.dynamic_update_slice(
+            cache_b, new_b.astype(cache_b.dtype), (0, idx, 0)
+        )
+
+    def write_scale(cache_b, new_b, idx):
+        return jax.lax.dynamic_update_slice(cache_b, new_b, (0, idx))
+
+    groups = nh // nkv
+
+    def layer_body(x, per_layer):
+        layer, kc, vc, ks, vs = per_layer
+        h = _rms_norm(x, layer.input_norm, eps)
+        q = split_heads(layer.q_proj(h), nh)
+        k = split_heads(layer.k_proj(h), nkv)
+        v = split_heads(layer.v_proj(h), nkv)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+
+        if kc is not None:
+            if kc.dtype == jnp.int8:
+                kq8, ksc = _quantize_kv(k)
+                vq8, vsc = _quantize_kv(v)
+                kc = jax.vmap(write)(kc, kq8, starts)
+                vc = jax.vmap(write)(vc, vq8, starts)
+                ks = jax.vmap(write_scale)(ks, ksc.astype(ks.dtype), starts)
+                vs = jax.vmap(write_scale)(vs, vsc.astype(vs.dtype), starts)
+                k_all = (kc.astype(jnp.float32) * ks[..., None]).astype(x.dtype)
+                v_all = (vc.astype(jnp.float32) * vs[..., None]).astype(x.dtype)
+            else:
+                kc = jax.vmap(write)(kc, k, starts)
+                vc = jax.vmap(write)(vc, v, starts)
+                k_all, v_all = kc.astype(x.dtype), vc.astype(x.dtype)
+        else:
+            k_all, v_all = k, v
+
+        if groups > 1:
+            k_all = jnp.repeat(k_all, groups, axis=1)
+            v_all = jnp.repeat(v_all, groups, axis=1)
+        attn = _attention(q, k_all, v_all, mask)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * d)
+        x = x + layer.o_proj(attn)
+
+        h = _rms_norm(x, layer.post_norm, eps)
+        gated = jax.nn.silu(layer.gate_proj(h).astype(jnp.float32)).astype(x.dtype)
+        x = x + layer.down_proj(gated * layer.up_proj(h))
+        return x, (kc, vc, ks, vs)
+
+    if cache is not None:
+        xs = (stacked_layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(layer_body, x, xs)
+        new_cache = StackedKVCache(
+            k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new,
+            length=cache.length + T,
+        )
+    else:
+        def body_nocache(x, layer):
+            x, _ = layer_body(x, (layer, None, None, None, None))
+            return x, ()
+
+        x, _ = jax.lax.scan(body_nocache, x, stacked_layers)
+        new_cache = None
+
+    x = _rms_norm(x, params.final_norm, eps)
+    if params.lm_head is not None:
+        logits = params.lm_head(x, out_dtype=jnp.float32)
+    else:
+        logits = jnp.einsum("bth,vh->btv", x, params.embedding).astype(jnp.float32)
+    return logits, new_cache
+
+
+def make_stacked_decode_loop(config: LlamaConfig, num_steps: int, donate: bool = True):
+    """Greedy decode loop over the stacked forward; one XLA program."""
+
+    def loop(params, stacked_layers, cache, token):
+        def step(carry, _):
+            cache, token = carry
+            logits, cache = serving_forward_stacked(
+                params, stacked_layers, config, token, cache
+            )
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(token.dtype)[:, None]
+            return (cache, nxt), nxt[:, 0]
+
+        (cache, _), tokens = jax.lax.scan(step, (cache, token), None, length=num_steps)
+        return tokens.T, cache
+
+    return jax.jit(loop, donate_argnums=(2,) if donate else ())

@@ -1,0 +1,73 @@
+"""Stacked (lax.scan over layers) forward must match the unrolled engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastforward_tpu.models.llama import LlamaConfig
+from fastforward_tpu.serving import KVCache
+from fastforward_tpu.serving.engine import random_serving_params, serving_forward
+from fastforward_tpu.serving.stacked import (
+    StackedKVCache,
+    make_stacked_decode_loop,
+    serving_forward_stacked,
+    stack_serving_layers,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = LlamaConfig.tiny()
+    params = random_serving_params(config, mode="w4a8", seed=0)
+    stacked = stack_serving_layers(params)
+    return config, params, stacked
+
+
+def test_stacked_matches_unrolled_no_cache(setup):
+    config, params, stacked = setup
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 256, (2, 8)))
+    ref, _ = serving_forward(params, config, ids)
+    out, _ = serving_forward_stacked(params, stacked, config, ids)
+    # bf16 activations: scan-vs-unrolled changes fusion/rounding slightly
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.15)
+    agree = (np.asarray(out).argmax(-1) == np.asarray(ref).argmax(-1)).mean()
+    assert agree > 0.9
+
+
+def test_stacked_matches_unrolled_with_cache(setup):
+    config, params, stacked = setup
+    ids = jnp.asarray(np.random.RandomState(1).randint(0, 256, (2, 6)))
+    cache_u = KVCache.create(
+        num_layers=config.num_layers, batch_size=2, max_len=16,
+        num_kv_heads=config.num_kv_heads, head_dim=config.head_dim, quantized=True,
+    )
+    cache_s = StackedKVCache.create(
+        num_layers=config.num_layers, batch_size=2, max_len=16,
+        num_kv_heads=config.num_kv_heads, head_dim=config.head_dim, quantized=True,
+    )
+    ref, cache_u = serving_forward(params, config, ids, cache=cache_u)
+    out, cache_s = serving_forward_stacked(params, stacked, config, ids, cache=cache_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.25)
+    assert int(cache_s.length) == 6
+    # caches hold the same content (layer 0)
+    np.testing.assert_allclose(
+        np.asarray(cache_s.k[0]), np.asarray(cache_u.layer(0).k), atol=1
+    )
+
+
+def test_stacked_decode_loop(setup):
+    config, params, stacked = setup
+    cache = StackedKVCache.create(
+        num_layers=config.num_layers, batch_size=2, max_len=32,
+        num_kv_heads=config.num_kv_heads, head_dim=config.head_dim, quantized=True,
+    )
+    prompt = jnp.asarray(np.random.RandomState(2).randint(0, 256, (2, 4)))
+    logits, cache = jax.jit(
+        lambda p, s, c, i: serving_forward_stacked(p, s, config, i, cache=c)
+    )(params, stacked, cache, prompt)
+    tok = jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(prompt.dtype)
+    loop = make_stacked_decode_loop(config, num_steps=6)
+    tokens, cache = loop(params, stacked, cache, tok)
+    assert tokens.shape == (2, 6)
+    assert int(cache.length) == 4 + 6

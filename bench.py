@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Headline benchmark: Llama-3-8B W4A8 + INT8 KV-cache decode throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "tokens/s/chip", "vs_baseline": N}
+
+- value: greedy-decode tokens/s/chip for Llama-3-8B (random weights), W4A8
+  per-group g=128 weights + INT8 KV cache, batch FF_BENCH_BATCH (default 8),
+  decode loop fully jitted (lax.scan over steps, lax.scan over layers).
+- vs_baseline: speedup over the *reference-equivalent* path — fake-quant
+  simulation (bf16 weights QDQ'd per use, exactly FastForward's execution
+  model, reference `_quantizer_impl.py:144-190`) — measured on the largest
+  Llama that fits in bf16 on one chip (Llama-3.2-1B), same batch/steps:
+      vs_baseline = (our W4A8 tok/s at 1B) / (sim-tier tok/s at 1B).
+  The reference itself could not run 8B on this 16GB chip at all (bf16
+  weights alone exceed HBM).
+
+Env overrides: FF_BENCH_MODEL=8b|1b|tiny, FF_BENCH_MODE=w4a8|w4a16|w8a8,
+FF_BENCH_BATCH, FF_BENCH_STEPS, FF_BENCH_PREFILL, FF_BENCH_SKIP_BASELINE=1.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _build(config, mode, batch, max_len, prefill_len, steps, seed=0):
+    from fastforward_tpu.serving.stacked import (
+        StackedKVCache,
+        make_stacked_decode_loop,
+        random_stacked_params,
+        serving_forward_stacked,
+    )
+
+    params, stacked = random_stacked_params(config, mode=mode, seed=seed)
+    cache = StackedKVCache.create(
+        num_layers=config.num_layers, batch_size=batch, max_len=max_len,
+        num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
+        quantized=True,
+    )
+    prefill = jax.jit(
+        lambda p, s, c, ids: serving_forward_stacked(p, s, config, ids, cache=c)
+    )
+    loop = make_stacked_decode_loop(config, num_steps=steps)
+    return params, stacked, cache, prefill, loop
+
+
+def measure_decode(config, mode, batch, prefill_len, steps, seed=0, repeats=2):
+    """Return decode tokens/s (batch*steps / loop wall time, best of repeats)."""
+    max_len = prefill_len + steps * (repeats + 2) + 8
+    params, stacked, cache, prefill, loop = _build(
+        config, mode, batch, max_len, prefill_len, steps, seed
+    )
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, config.vocab_size, (batch, prefill_len)))
+    logits, cache = prefill(params, stacked, cache, ids)
+    token = jnp.argmax(logits[:, -1], axis=-1).astype(ids.dtype)[:, None]
+
+    # Warmup compiles the loop and runs it once.
+    tokens, cache = loop(params, stacked, cache, token)
+    tokens.block_until_ready()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        tokens, cache = loop(params, stacked, cache, token)
+        tokens.block_until_ready()
+        np.asarray(tokens[0, -1])  # force full sync through the relay
+        best = min(best, time.perf_counter() - t0)
+    return batch * steps / best
+
+
+def main():
+    model = os.environ.get("FF_BENCH_MODEL", "8b")
+    mode = os.environ.get("FF_BENCH_MODE", "w4a8")
+    batch = int(os.environ.get("FF_BENCH_BATCH", "8"))
+    steps = int(os.environ.get("FF_BENCH_STEPS", "32"))
+    prefill_len = int(os.environ.get("FF_BENCH_PREFILL", "128"))
+
+    from fastforward_tpu.models.llama import LlamaConfig
+
+    configs = {
+        "8b": LlamaConfig.llama3_8b(),
+        "1b": LlamaConfig.llama32_1b(),
+        "tiny": LlamaConfig.tiny(),
+    }
+    config = configs[model]
+
+    tok_s = measure_decode(config, mode, batch, prefill_len, steps)
+
+    vs_baseline = None
+    if os.environ.get("FF_BENCH_SKIP_BASELINE") != "1":
+        # Baseline: reference-equivalent fake-quant simulation at 1B (largest
+        # that fits in bf16), same decode protocol.
+        base_config = configs["1b"] if model != "tiny" else configs["tiny"]
+        sim_mode = "sim_w4" if mode.startswith("w4") else "sim_w8"
+        try:
+            sim_tok_s = measure_decode(base_config, sim_mode, batch, prefill_len, steps)
+            ours_at_base = (
+                tok_s if model in ("1b", "tiny")
+                else measure_decode(base_config, mode, batch, prefill_len, steps)
+            )
+            vs_baseline = ours_at_base / sim_tok_s
+        except Exception as e:  # noqa: BLE001
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+
+    result = {
+        "metric": f"decode tokens/s/chip Llama-3-{model.upper()} {mode.upper()} + INT8 KV (batch={batch})",
+        "value": round(tok_s, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

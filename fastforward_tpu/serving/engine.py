@@ -64,6 +64,21 @@ class QuantLinear:
                 x2.astype(jnp.bfloat16), self.data, self.scale,
                 group_size=self.group_size, out_dtype=out_dtype,
             )
+        elif self.mode in ("sim_w8", "sim_w4"):
+            # Reference-style fake quantization: weights stored dense bf16
+            # and quantize-dequantized on every use (the reference's only
+            # tier, `_quantizer_impl.py:144-190`). Used as the bench baseline.
+            w = self.data.astype(jnp.float32)
+            if self.mode == "sim_w8":
+                q = jnp.clip(jnp.round(w / self.scale[None, :]), -128, 127)
+                w = q * self.scale[None, :]
+            else:
+                g = self.group_size
+                n_groups = w.shape[0] // g
+                wg = w.reshape(n_groups, g, -1)
+                q = jnp.clip(jnp.round(wg / self.scale[:, None, :]), -8, 7)
+                w = (q * self.scale[:, None, :]).reshape(w.shape[0], -1)
+            out = (x2.astype(jnp.bfloat16) @ w.astype(jnp.bfloat16)).astype(out_dtype)
         else:
             raise ValueError(f"unknown mode {self.mode}")
         return out.reshape(*lead, -1)

@@ -8,6 +8,7 @@ through the scan.
 """
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -59,6 +60,86 @@ class StackedKVCache:
 def stack_serving_layers(params: ServingParams):
     """Stack per-layer weight pytrees along a new leading axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *params.layers)
+
+
+def random_stacked_params(config: LlamaConfig, mode: str = "w4a8",
+                          group_size: int = 128, seed: int = 0):
+    """Random (params, stacked_layers) with layer weights generated directly
+    in stacked form — never materializes per-layer copies, so an 8B model
+    stages within one chip's HBM."""
+    from fastforward_tpu.kernels import pack_int4
+    from fastforward_tpu.serving.engine import QuantLinear, ServingLayer
+
+    h, inter = config.hidden_size, config.intermediate_size
+    nh, nkv, d = config.num_heads, config.num_kv_heads, config.head_dim
+    L = config.num_layers
+    key = jax.random.PRNGKey(seed)
+
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+    def _pack_rand(key, L, K, N, g):
+        q = jax.random.randint(key, (L * K, N), -8, 8, dtype=jnp.int8)
+        return pack_int4(q, group_size=g).reshape(L, K // 2, N)
+
+    def ql(key, K, N):
+        if mode == "w8a8":
+            data = jax.random.randint(key, (L, K, N), -127, 128, dtype=jnp.int8)
+            scale = jnp.full((L, N), 0.02 / np.sqrt(K), jnp.float32)
+            return QuantLinear(data, scale, mode="w8a8")
+        if mode in ("sim_w8", "sim_w4"):
+            data = jax.random.normal(key, (L, K, N), jnp.bfloat16) / np.sqrt(K)
+            if mode == "sim_w8":
+                scale = jnp.full((L, N), 0.02 / np.sqrt(K), jnp.float32)
+            else:
+                g = group_size if K % group_size == 0 else K
+                scale = jnp.full((L, K // g, N), 0.25 / np.sqrt(K), jnp.float32)
+                return QuantLinear(data, scale, mode=mode, group_size=g)
+            return QuantLinear(data, scale, mode=mode)
+        g = group_size if K % group_size == 0 else K
+        packed = _pack_rand(key, L, K, N, g)
+        scale = jnp.full((L, K // g, N), 0.25 / np.sqrt(K), jnp.float32)
+        return QuantLinear(packed, scale, mode=mode, group_size=g)
+
+    key, *ks = jax.random.split(key, 10)
+    stacked = ServingLayer(
+        q_proj=ql(ks[0], h, nh * d),
+        k_proj=ql(ks[1], h, nkv * d),
+        v_proj=ql(ks[2], h, nkv * d),
+        o_proj=ql(ks[3], nh * d, h),
+        gate_proj=ql(ks[4], h, inter),
+        up_proj=ql(ks[5], h, inter),
+        down_proj=ql(ks[6], inter, h),
+        input_norm=jnp.ones((L, h), jnp.bfloat16),
+        post_norm=jnp.ones((L, h), jnp.bfloat16),
+    )
+
+    def head_ql(key, K, N):
+        if mode == "w8a8":
+            data = jax.random.randint(key, (K, N), -127, 128, dtype=jnp.int8)
+            return QuantLinear(data, jnp.full((N,), 0.02 / np.sqrt(K), jnp.float32), mode="w8a8")
+        if mode in ("sim_w8", "sim_w4"):
+            data = jax.random.normal(key, (K, N), jnp.bfloat16) / np.sqrt(K)
+            if mode == "sim_w8":
+                return QuantLinear(data, jnp.full((N,), 0.02 / np.sqrt(K), jnp.float32), mode=mode)
+            g = group_size if K % group_size == 0 else K
+            return QuantLinear(
+                data, jnp.full((K // g, N), 0.25 / np.sqrt(K), jnp.float32),
+                mode=mode, group_size=g,
+            )
+        g = group_size if K % group_size == 0 else K
+        q = jax.random.randint(key, (K, N), -8, 8, dtype=jnp.int8)
+        return QuantLinear(
+            pack_int4(q, group_size=g),
+            jnp.full((K // g, N), 0.25 / np.sqrt(K), jnp.float32),
+            mode=mode, group_size=g,
+        )
+
+    params = ServingParams(
+        embedding=jax.random.normal(ks[7], (config.vocab_size, h), jnp.bfloat16) * 0.02,
+        layers=(),  # stacked form only
+        final_norm=jnp.ones((h,), jnp.bfloat16),
+        lm_head=None if config.tie_embeddings else head_ql(ks[8], h, config.vocab_size),
+    )
+    return params, stacked
 
 
 def serving_forward_stacked(

@@ -54,7 +54,11 @@ class GPT2Attention(nnx.Module):
         self.head_dim = h // config.num_heads
         self.c_attn = nnx.Linear(h, 3 * h, param_dtype=config.dtype, rngs=rngs)
         self.c_proj = nnx.Linear(h, h, param_dtype=config.dtype, rngs=rngs)
-        self._sdpa_kwargs: dict = {}
+
+    def _sdpa_quantizers(self) -> dict:
+        # Overridden by the quantized counterpart; read dynamically so that
+        # quantizer replacement (config rules, estimators) is always seen.
+        return {}
 
     def __call__(self, x, attn_mask=None):
         B, T, H = x.shape[0], x.shape[1], self.num_heads
@@ -70,7 +74,7 @@ class GPT2Attention(nnx.Module):
 
         out = ops.scaled_dot_product_attention(
             heads(q), heads(k), heads(v), attn_mask=attn_mask, is_causal=True,
-            strict_quantization=False, **self._sdpa_kwargs,
+            strict_quantization=False, **self._sdpa_quantizers(),
         )
         out = out.transpose(0, 2, 1, 3).reshape(B, T, -1)
         return self.c_proj(out)
@@ -85,7 +89,9 @@ class QuantizedGPT2Attention(QuantizedModule, GPT2Attention):
         self.attn_scores_quantizer = QuantizerStub("activation/attn_scores")
         self.attn_weights_quantizer = QuantizerStub("activation/attn_weights")
         self.attn_output_quantizer = QuantizerStub(output_quantizer=True)
-        self._sdpa_kwargs = dict(
+
+    def _sdpa_quantizers(self) -> dict:
+        return dict(
             attn_scores_quantizer=self.attn_scores_quantizer,
             attn_weights_quantizer=self.attn_weights_quantizer,
         )

@@ -104,10 +104,15 @@ class LlamaAttention(nnx.Module):
         self.v_proj = nnx.Linear(h, config.num_kv_heads * d, **kw)
         self.o_proj = nnx.Linear(config.num_heads * d, h, **kw)
         self._inv_freq = rope_frequencies(config)
-        self._sdpa_kwargs: dict = {}
-        # Slot filled by the quantized counterpart; declared as nnx data so a
-        # Quantizer module can be assigned after conversion.
-        self.kv_quantizer: Any = nnx.data(None)
+
+    def _sdpa_quantizers(self) -> dict:
+        # Overridden by the quantized counterpart; read dynamically so that
+        # quantizer replacement (config rules, estimators) is always seen.
+        return {}
+
+    @property
+    def kv_quantizer(self):
+        return getattr(self, "kv_cache_quantizer", None)
 
     def _split(self, t: jax.Array, n: int) -> jax.Array:
         B, T = t.shape[0], t.shape[1]
@@ -140,7 +145,7 @@ class LlamaAttention(nnx.Module):
 
         out = ops.scaled_dot_product_attention(
             q, k, v, attn_mask=attn_mask, is_causal=is_causal,
-            strict_quantization=False, **self._sdpa_kwargs,
+            strict_quantization=False, **self._sdpa_quantizers(),
         )
         B, T = x.shape[0], x.shape[1]
         out = out.transpose(0, 2, 1, 3).reshape(B, T, -1)
@@ -155,11 +160,12 @@ class QuantizedLlamaAttention(QuantizedModule, LlamaAttention):
         self.attn_scores_quantizer = QuantizerStub("activation/attn_scores")
         self.attn_weights_quantizer = QuantizerStub("activation/attn_weights")
         self.kv_cache_quantizer = QuantizerStub("activation/kv_cache")
-        self._sdpa_kwargs = dict(
+
+    def _sdpa_quantizers(self) -> dict:
+        return dict(
             attn_scores_quantizer=self.attn_scores_quantizer,
             attn_weights_quantizer=self.attn_weights_quantizer,
         )
-        self.kv_quantizer = self.kv_cache_quantizer
 
 
 class LlamaMLP(nnx.Module):

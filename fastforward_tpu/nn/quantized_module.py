@@ -199,13 +199,43 @@ def quantize_model(
 
 
 def named_quantizers(
-    model: nnx.Module, prefix: str = ""
+    model: nnx.Module, prefix: str = "", remove_duplicate: bool = False
 ) -> Iterator[tuple[str, Quantizer]]:
-    """Yield (path, quantizer) for every Quantizer in the module tree."""
-    for path, module in _iter_submodules(model):
-        if isinstance(module, Quantizer):
-            name = "/".join(str(p) for p in path)
-            yield (f"{prefix}{name}" if prefix else name), module
+    """Yield (path, quantizer) for every Quantizer in the module tree.
+
+    Unlike `nnx.iter_modules`, a quantizer shared between several slots is
+    yielded at *every* path (``remove_duplicate=False``, matching the
+    reference's shared-quantizer handling in state save/load,
+    `quantized_module.py:363-652`).
+    """
+    seen: set[int] = set()
+
+    def walk(obj: Any, path: tuple[str, ...], on_path: set[int]):
+        if id(obj) in on_path:
+            return  # cycle guard
+        if isinstance(obj, Quantizer):
+            if remove_duplicate:
+                if id(obj) in seen:
+                    return
+                seen.add(id(obj))
+            name = "/".join(path)
+            yield (f"{prefix}{name}" if prefix else name), obj
+            return
+        children: list[tuple[str, Any]] = []
+        if isinstance(obj, (list, tuple, nnx.List)):
+            children = [(str(i), v) for i, v in enumerate(obj)]
+        elif isinstance(obj, (dict, nnx.Dict)):
+            children = [(str(k), v) for k, v in obj.items()]
+        elif isinstance(obj, nnx.Module):
+            children = [
+                (k, v) for k, v in vars(obj).items() if not k.startswith("_")
+            ]
+        next_on_path = on_path | {id(obj)}
+        for key, value in children:
+            if isinstance(value, (nnx.Module, list, tuple, dict, nnx.List, nnx.Dict)):
+                yield from walk(value, path + (key,), next_on_path)
+
+    yield from walk(model, (), set())
 
 
 def summarize_quantizers(model: nnx.Module) -> str:

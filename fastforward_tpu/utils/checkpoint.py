@@ -1,0 +1,153 @@
+"""Quantization-state checkpointing.
+
+Parity: reference `QuantizedModule.save_quantization_state` /
+`load_quantization_state` (`nn/quantized_module.py:363-652`): a safetensors
+file with quantizer parameters plus a ``config.yaml`` reconstructing each
+quantizer (type + ctor args), shared-quantizer dedup by lexicographically
+first path, ``::lazy`` markers for uninitialized parameters, versioned.
+
+Model weights themselves go through normal orbax/flax checkpointing — this
+covers only the quantization state, so a calibrated/GPTQ'd model can be
+re-created on top of freshly loaded base weights.
+"""
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import yaml
+
+from fastforward_tpu.exceptions import QuantizationError
+from fastforward_tpu.nn.quantized_module import named_quantizers
+from fastforward_tpu.nn.quantizer import Quantizer, QuantizerStub
+from fastforward_tpu.utils import serialization
+
+FORMAT_VERSION = "1.0"
+LAZY_MARKER = "::lazy"
+
+
+def _quantizer_config(quantizer: Quantizer) -> dict[str, Any]:
+    from fastforward_tpu.nn.linear_quantizer import (
+        DynamicLinearQuantizer,
+        LinearQuantizer,
+    )
+
+    t = type(quantizer)
+    config: dict[str, Any] = {
+        "type": f"{t.__module__}.{t.__qualname__}",
+        "args": {},
+        "params": {},
+    }
+    if isinstance(quantizer, (LinearQuantizer, DynamicLinearQuantizer)):
+        config["args"] = {
+            "num_bits": quantizer.num_bits,
+            "granularity": serialization.to_yamlable_dict(quantizer.granularity),
+            "symmetric": quantizer.symmetric,
+            "allow_one_sided": quantizer.allow_one_sided,
+        }
+    if isinstance(quantizer, LinearQuantizer):
+        if quantizer.scale is None:
+            config["params"]["scale"] = LAZY_MARKER
+            config["params"]["offset"] = LAZY_MARKER
+        else:
+            config["params"]["scale"] = "scale"
+            config["params"]["offset"] = None if quantizer.offset is None else "offset"
+    return config
+
+
+def save_quantization_state(model: Any, path: str) -> None:
+    """Write ``<path>/config.yaml`` + ``<path>/quantizers.safetensors``."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    tensors: dict[str, np.ndarray] = {}
+    configs: dict[str, Any] = {}
+    seen: dict[int, str] = {}  # id(quantizer) -> first path (dedup)
+
+    for name, quantizer in named_quantizers(model):
+        if isinstance(quantizer, QuantizerStub):
+            continue
+        if id(quantizer) in seen:
+            configs[name] = {"shared_with": seen[id(quantizer)]}
+            continue
+        seen[id(quantizer)] = name
+        config = _quantizer_config(quantizer)
+        for param_name, key in list(config["params"].items()):
+            if key in (None, LAZY_MARKER):
+                continue
+            value = getattr(quantizer, param_name)
+            tensor_key = f"{name}.{param_name}"
+            tensors[tensor_key] = np.asarray(jax.device_get(value.value))
+            config["params"][param_name] = tensor_key
+        configs[name] = config
+
+    with open(os.path.join(path, "config.yaml"), "w") as f:
+        yaml.safe_dump({"version": FORMAT_VERSION, "quantizers": configs}, f)
+    save_file(tensors, os.path.join(path, "quantizers.safetensors"))
+
+
+def load_quantization_state(
+    model: Any, path: str, overwrite_policy: str = "overwrite"
+) -> None:
+    """Reconstruct quantizers from a saved state onto ``model`` (in place).
+
+    ``overwrite_policy``: "error" | "skip" | "overwrite" for slots already
+    holding non-stub quantizers (reference `quantized_module.py:630-652`).
+    """
+    from flax import nnx
+
+    from fastforward_tpu import mpath
+    from safetensors.numpy import load_file
+
+    with open(os.path.join(path, "config.yaml")) as f:
+        saved = yaml.safe_load(f)
+    if saved.get("version") != FORMAT_VERSION:
+        raise QuantizationError(
+            f"Unsupported quantization state version {saved.get('version')}"
+        )
+    tensors = load_file(os.path.join(path, "quantizers.safetensors"))
+
+    built: dict[str, Quantizer] = {}
+
+    def build(name: str, config: dict[str, Any]) -> Quantizer:
+        if "shared_with" in config:
+            return built[config["shared_with"]]
+        import importlib
+
+        mod_name, _, cls_name = config["type"].rpartition(".")
+        cls = getattr(importlib.import_module(mod_name), cls_name)
+        args = {
+            k: serialization._decode(v) if isinstance(v, (dict, list)) else v
+            for k, v in config.get("args", {}).items()
+        }
+        quantizer = cls(**args)
+        params = config.get("params", {})
+        scale_key = params.get("scale")
+        if scale_key and scale_key != LAZY_MARKER:
+            quantizer.scale = nnx.Param(jax.numpy.asarray(tensors[scale_key]))
+            offset_key = params.get("offset")
+            if offset_key:
+                quantizer.offset = nnx.Param(jax.numpy.asarray(tensors[offset_key]))
+            else:
+                quantizer.offset = None
+        return quantizer
+
+    # Build in order so shared_with targets exist first.
+    configs = saved["quantizers"]
+    for name in sorted(configs, key=lambda n: ("shared_with" in configs[n], n)):
+        built[name] = build(name, configs[name])
+
+    for name, quantizer in built.items():
+        items = mpath.search(name, model)
+        if len(items) != 1:
+            raise QuantizationError(f"Quantizer path {name!r} not found in model")
+        current = items[0].module
+        if not isinstance(current, QuantizerStub) and isinstance(current, Quantizer):
+            if overwrite_policy == "error":
+                raise QuantizationError(
+                    f"Quantizer at {name!r} already initialized (policy=error)"
+                )
+            if overwrite_policy == "skip":
+                continue
+        items[0].update_module(quantizer)

@@ -1,0 +1,113 @@
+"""Quantization state save/load tests. Modeled on reference
+`tests/nn/test_quantized_module_quantization_state.py` (safetensors/YAML
+round-trip, shared + lazy quantizers)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+import fastforward_tpu as ff
+from fastforward_tpu import nn as ffnn
+from fastforward_tpu.utils import serialization
+from fastforward_tpu.utils.checkpoint import load_quantization_state, save_quantization_state
+
+
+def test_yamlable_roundtrip():
+    gran = ff.PerBlock(block_dims=1, block_sizes=64, per_channel_dims=0)
+    text = serialization.dump(gran)
+    restored = serialization.load(text)
+    assert restored == gran
+
+
+def test_yamlable_nested():
+    text = serialization.dump({"g": ff.PerChannel((0, 2))})
+    restored = serialization.load(text)
+    assert restored["g"] == ff.PerChannel((0, 2))
+
+
+class MLP(nnx.Module):
+    def __init__(self, *, rngs):
+        self.fc1 = nnx.Linear(8, 16, rngs=rngs)
+        self.fc2 = nnx.Linear(16, 4, rngs=rngs)
+
+
+def _quantized_mlp(initialized=True):
+    model = MLP(rngs=nnx.Rngs(0))
+    ffnn.quantize_model(model)
+    config = ff.QuantizationConfig()
+    config.add_rule("**/[quantizer:parameter/weight]", ffnn.LinearQuantizer,
+                    num_bits=4, symmetric=True, granularity=ff.PerChannel(1))
+    config.add_rule("**/[quantizer:activation/output]", ffnn.LinearQuantizer,
+                    num_bits=8, symmetric=False)
+    config.initialize(model)
+    if initialized:
+        model.fc1.weight_quantizer.quantization_range = (
+            jnp.full((16,), -1.0), jnp.full((16,), 1.0))
+        model.fc2.weight_quantizer.quantization_range = (
+            jnp.full((4,), -0.5), jnp.full((4,), 0.5))
+        model.fc1.output_quantizer.quantization_range = (-3.0, 3.0)
+        model.fc2.output_quantizer.quantization_range = (-2.0, 4.0)
+    return model
+
+
+def test_save_load_roundtrip(tmp_path):
+    model = _quantized_mlp()
+    save_quantization_state(model, str(tmp_path / "state"))
+
+    fresh = MLP(rngs=nnx.Rngs(0))
+    ffnn.quantize_model(fresh)
+    load_quantization_state(fresh, str(tmp_path / "state"))
+
+    q = fresh.fc1.weight_quantizer
+    assert isinstance(q, ffnn.LinearQuantizer)
+    assert q.num_bits == 4
+    assert q.granularity == ff.PerChannel(1)
+    np.testing.assert_allclose(
+        np.asarray(q.scale.value), np.asarray(model.fc1.weight_quantizer.scale.value)
+    )
+    # asymmetric output quantizer keeps its offset
+    oq = fresh.fc2.output_quantizer
+    assert oq.offset is not None
+    mn, mx = oq.quantization_range
+    np.testing.assert_allclose(float(np.asarray(mn).squeeze()), -2.0, rtol=1e-5)
+
+
+def test_save_lazy_quantizer(tmp_path):
+    model = _quantized_mlp(initialized=False)
+    save_quantization_state(model, str(tmp_path / "state"))
+    fresh = MLP(rngs=nnx.Rngs(0))
+    ffnn.quantize_model(fresh)
+    load_quantization_state(fresh, str(tmp_path / "state"))
+    assert isinstance(fresh.fc1.weight_quantizer, ffnn.LinearQuantizer)
+    assert fresh.fc1.weight_quantizer.has_uninitialized_params
+
+
+def test_shared_quantizer_dedup(tmp_path):
+    model = _quantized_mlp()
+    shared = model.fc1.output_quantizer
+    model.fc2.output_quantizer = shared  # share one quantizer object
+    save_quantization_state(model, str(tmp_path / "state"))
+
+    fresh = MLP(rngs=nnx.Rngs(0))
+    ffnn.quantize_model(fresh)
+    load_quantization_state(fresh, str(tmp_path / "state"))
+    assert fresh.fc1.output_quantizer is fresh.fc2.output_quantizer
+
+
+def test_overwrite_policy_error(tmp_path):
+    model = _quantized_mlp()
+    save_quantization_state(model, str(tmp_path / "state"))
+    with pytest.raises(ff.QuantizationError, match="already initialized"):
+        load_quantization_state(model, str(tmp_path / "state"), overwrite_policy="error")
+
+
+def test_stubs_not_saved(tmp_path):
+    model = MLP(rngs=nnx.Rngs(0))
+    ffnn.quantize_model(model)  # stubs only
+    save_quantization_state(model, str(tmp_path / "state"))
+    import yaml
+
+    with open(tmp_path / "state" / "config.yaml") as f:
+        saved = yaml.safe_load(f)
+    assert saved["quantizers"] == {}

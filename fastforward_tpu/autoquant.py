@@ -1,0 +1,189 @@
+"""Autoquant: trace-time op substitution.
+
+The reference's autoquant subsystem (`src/fastforward/autoquant.py:66`,
+`_autoquant/` — ~8k LoC of libcst source-to-source codegen) rewrites model
+*source code* so every `torch.relu(x)` becomes
+`ff.nn.functional.relu(x, output_quantizer=self.q)`. That machinery exists
+because eager PyTorch offers no interception point.
+
+Under JAX everything the model does passes through a traced function call, so
+the same capability is a *runtime substitution context* (BASELINE north star:
+"autoquant codegen → trace-time op substitution"):
+
+1. `quantize_model` swaps module classes (module-level substitution);
+2. `autoquantize(model, sample_args)` runs one discovery trace with the
+   `jax.nn`/`jnp` functions in the operator table patched to *record* call
+   sites, creates a quantizer slot per site on the model, and rebinds the
+   model's `__call__` to run inside the substitution context — where the
+   i-th call of an op routes through `fastforward_tpu.ops.<op>` with that
+   site's quantizer as `output_quantizer`.
+
+Call sites are identified by (op, call index) — deterministic because JAX
+tracing executes the model's Python exactly once per trace in a fixed order.
+"""
+
+import contextlib
+import importlib
+from contextvars import ContextVar
+from typing import Any, Iterator, Optional
+
+from flax import nnx
+
+from fastforward_tpu import ops
+from fastforward_tpu.nn.quantized_module import quantize_model
+from fastforward_tpu.nn.quantizer import Quantizer, QuantizerStub
+
+def _softmax_adapter(args, kwargs):
+    # jax.nn.softmax(x, axis=-1) → ops.softmax(x, dim=-1)
+    if "axis" in kwargs:
+        kwargs = dict(kwargs)
+        kwargs["dim"] = kwargs.pop("axis")
+    return args, kwargs
+
+
+def _gelu_adapter(args, kwargs):
+    # jax.nn.gelu(x, approximate: bool) → ops.gelu(x, approximate: str)
+    kwargs = dict(kwargs)
+    approx = kwargs.pop("approximate", True)
+    kwargs["approximate"] = "tanh" if approx else "none"
+    return args, kwargs
+
+
+# Ops whose public jax/jnp entry points are substituted. Keys are operator
+# names in the OPERATOR_TABLE; values: (module path, attribute, kwargs
+# adapter or None).
+SUBSTITUTABLE = {
+    "relu": ("jax.nn", "relu", None),
+    "silu": ("jax.nn", "silu", None),
+    "gelu": ("jax.nn", "gelu", _gelu_adapter),
+    "sigmoid": ("jax.nn", "sigmoid", None),
+    "softmax": ("jax.nn", "softmax", _softmax_adapter),
+    "tanh": ("jax.numpy", "tanh", None),
+    "matmul": ("jax.numpy", "matmul", None),
+}
+
+_MODE = ContextVar("autoquant_mode", default=None)  # None | "record" | "apply"
+_SITES = ContextVar("autoquant_sites", default=None)
+_COUNTS = ContextVar("autoquant_counts", default=None)
+_INSIDE = ContextVar("autoquant_inside_op", default=False)
+
+
+class _Patched:
+    """Replacement for a jax/jnp function during autoquant contexts."""
+
+    def __init__(self, op_name: str, original: Any, adapter: Any = None):
+        self.op_name = op_name
+        self.original = original
+        self.adapter = adapter
+
+    def __call__(self, *args: Any, **kwargs: Any) -> Any:
+        from fastforward_tpu.ops.optable import IN_QUANTIZED_OP
+
+        mode = _MODE.get()
+        if mode is None or _INSIDE.get() or IN_QUANTIZED_OP.get():
+            return self.original(*args, **kwargs)
+        counts = _COUNTS.get()
+        index = counts.get(self.op_name, 0)
+        counts[self.op_name] = index + 1
+        site = f"{self.op_name}_{index}"
+        if mode == "record":
+            _SITES.get().add(site)
+            return self.original(*args, **kwargs)
+        # apply mode: route through the quantized op with the site quantizer.
+        quantizers = _SITES.get()
+        quantizer = quantizers.get(site)
+        token = _INSIDE.set(True)
+        try:
+            if self.adapter is not None:
+                args, kwargs = self.adapter(args, kwargs)
+            op = getattr(ops, self.op_name)
+            return op(*args, output_quantizer=quantizer, **kwargs)
+        finally:
+            _INSIDE.reset(token)
+
+
+@contextlib.contextmanager
+def _patched_namespace() -> Iterator[None]:
+    saved = []
+    for op_name, (mod_name, attr, adapter) in SUBSTITUTABLE.items():
+        module = importlib.import_module(mod_name)
+        original = getattr(module, attr)
+        if isinstance(original, _Patched):
+            continue
+        setattr(module, attr, _Patched(op_name, original, adapter))
+        saved.append((module, attr, original))
+    try:
+        yield
+    finally:
+        for module, attr, original in saved:
+            setattr(module, attr, original)
+
+
+@contextlib.contextmanager
+def substitution(model: Any, mode: str) -> Iterator[None]:
+    """Activate op substitution for ``model``'s autoquant sites."""
+    sites: Any
+    if mode == "record":
+        sites = set()
+    else:
+        holder = getattr(model, "autoquant_quantizers", None)
+        sites = dict(holder) if holder is not None else {}
+    mode_token = _MODE.set(mode)
+    sites_token = _SITES.set(sites)
+    counts_token = _COUNTS.set({})
+    try:
+        with _patched_namespace():
+            yield sites
+    finally:
+        _MODE.reset(mode_token)
+        _SITES.reset(sites_token)
+        _COUNTS.reset(counts_token)
+
+
+def autoquantize(
+    model: nnx.Module,
+    *sample_args: Any,
+    convert_modules: bool = True,
+    **sample_kwargs: Any,
+) -> nnx.Module:
+    """Quantize ``model`` including function-level op calls.
+
+    Parity with reference `ff.autoquantize` (`autoquant.py:66-200`): after
+    this call, every known op invoked inside the model's forward has a
+    quantizer slot (`model.autoquant_quantizers["relu_0"]`, ...) that
+    `QuantizationConfig` rules can address via
+    ``"autoquant_quantizers/*"`` mpath queries, and the model's `__call__`
+    runs under the substitution context automatically.
+    """
+    from fastforward_tpu import flags
+
+    if convert_modules:
+        quantize_model(model)
+
+    # Discovery trace.
+    with flags.strict_quantization(False):
+        with substitution(model, "record") as sites:
+            model(*sample_args, **sample_kwargs)
+
+    model.autoquant_quantizers = nnx.data(
+        {site: QuantizerStub("activation/autoquant") for site in sorted(sites)}
+    )
+
+    # Rebind __call__ so the substitution context is always active.
+    cls = type(model)
+    if not getattr(cls, "_autoquant_call_installed", False):
+        original_call = cls.__call__
+
+        def call_with_substitution(self, *args: Any, **kwargs: Any):
+            if _MODE.get() is not None:
+                return original_call(self, *args, **kwargs)
+            with substitution(self, "apply"):
+                return original_call(self, *args, **kwargs)
+
+        auto_cls = type(
+            f"AutoQuant{cls.__name__}",
+            (cls,),
+            {"__call__": call_with_substitution, "_autoquant_call_installed": True},
+        )
+        model.__class__ = auto_cls
+    return model

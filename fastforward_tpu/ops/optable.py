@@ -20,6 +20,7 @@ replaceable.
 import dataclasses
 import functools
 import inspect
+from contextvars import ContextVar
 from typing import Any, Callable, Optional, Sequence
 
 from fastforward_tpu import dispatcher, flags
@@ -53,6 +54,10 @@ class OperatorSpec:
 
 OPERATOR_TABLE: dict[str, OperatorSpec] = {}
 _ALIASES: dict[str, str] = {}
+
+# True while executing inside a quantized-op body — lets the autoquant
+# substitution layer ignore the jnp/jax.nn calls our own fallbacks make.
+IN_QUANTIZED_OP: ContextVar[bool] = ContextVar("in_quantized_op", default=False)
 
 
 def get_operator(name: str) -> Optional[OperatorSpec]:
@@ -153,6 +158,13 @@ def quantized_op(
             strict_quantization: Optional[bool] = None,
             **kwargs: Any,
         ) -> Any:
+            token = IN_QUANTIZED_OP.set(True)
+            try:
+                return _invoke(args, output_quantizer, strict_quantization, kwargs)
+            finally:
+                IN_QUANTIZED_OP.reset(token)
+
+        def _invoke(args, output_quantizer, strict_quantization, kwargs):
             strict = (
                 flags.get_strict_quantization()
                 if strict_quantization is None

@@ -1,0 +1,92 @@
+"""Autoquant (trace-time op substitution) tests. Role parity with reference
+`tests/autoquant/` — here the contract is behavioral, not textual: after
+autoquantize, function-level ops gain quantizer slots and route through the
+quantized op layer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+import fastforward_tpu as ff
+from fastforward_tpu import nn as ffnn, range_setting
+from fastforward_tpu.autoquant import autoquantize
+
+
+class MLP(nnx.Module):
+    """A model written with *plain jax* calls — the autoquant target."""
+
+    def __init__(self, *, rngs):
+        self.fc1 = nnx.Linear(8, 16, rngs=rngs)
+        self.fc2 = nnx.Linear(16, 4, rngs=rngs)
+
+    def __call__(self, x):
+        h = jax.nn.relu(self.fc1(x))
+        h = jax.nn.softmax(self.fc2(h), axis=-1)
+        return h
+
+
+@pytest.fixture
+def sample():
+    return jnp.asarray(np.random.RandomState(0).randn(2, 8), dtype=jnp.float32)
+
+
+def test_autoquantize_discovers_sites(sample):
+    model = MLP(rngs=nnx.Rngs(0))
+    autoquantize(model, sample)
+    assert set(model.autoquant_quantizers) == {"relu_0", "softmax_0"}
+    assert isinstance(model.fc1, ffnn.QuantizedLinear)
+
+
+def test_autoquantized_model_runs_and_matches(sample):
+    model = MLP(rngs=nnx.Rngs(0))
+    ref = np.asarray(MLP(rngs=nnx.Rngs(0))(sample))
+    autoquantize(model, sample)
+    with ff.strict_quantization(False):
+        out = model(sample)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_autoquant_slots_participate_in_config(sample):
+    model = MLP(rngs=nnx.Rngs(0))
+    autoquantize(model, sample)
+    config = ff.QuantizationConfig()
+    config.add_rule("autoquant_quantizers/*", ffnn.LinearQuantizer, num_bits=8, symmetric=False)
+    config.initialize(model)
+    assert isinstance(model.autoquant_quantizers["relu_0"], ffnn.LinearQuantizer)
+
+    # calibrate + run: the relu output is now quantized
+    with ff.strict_quantization(False):
+        with range_setting.estimate_ranges(model, range_setting.running_minmax):
+            model(sample)
+        out = model(sample)
+    assert out.shape == (2, 4)
+    assert not model.autoquant_quantizers["relu_0"].has_uninitialized_params
+
+
+def test_substitution_restores_namespace(sample):
+    original_relu = jax.nn.relu
+    model = MLP(rngs=nnx.Rngs(0))
+    autoquantize(model, sample)
+    assert jax.nn.relu is original_relu
+
+
+def test_autoquant_under_jit(sample):
+    model = MLP(rngs=nnx.Rngs(0))
+    autoquantize(model, sample)
+    config = ff.QuantizationConfig()
+    config.add_rule("autoquant_quantizers/*", ffnn.LinearQuantizer, num_bits=8, symmetric=False)
+    config.initialize(model)
+    with ff.strict_quantization(False):
+        with range_setting.estimate_ranges(model, range_setting.running_minmax):
+            model(sample)
+        graphdef, state = nnx.split(model)
+
+        @jax.jit
+        def fwd(state, x):
+            m = nnx.merge(graphdef, state)
+            return m(x)
+
+        out = fwd(state, sample)
+    assert out.shape == (2, 4)

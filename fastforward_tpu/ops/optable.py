@@ -59,6 +59,10 @@ _ALIASES: dict[str, str] = {}
 # substitution layer ignore the jnp/jax.nn calls our own fallbacks make.
 IN_QUANTIZED_OP: ContextVar[bool] = ContextVar("in_quantized_op", default=False)
 
+# Observers notified with the op name whenever a quantized operator runs
+# (used by quantizer annotation; reference `quantizer_annotations.py`).
+OP_OBSERVERS: list[Callable[[str], None]] = []
+
 
 def get_operator(name: str) -> Optional[OperatorSpec]:
     if name in OPERATOR_TABLE:
@@ -158,6 +162,8 @@ def quantized_op(
             strict_quantization: Optional[bool] = None,
             **kwargs: Any,
         ) -> Any:
+            for observer in OP_OBSERVERS:
+                observer(op_name)
             token = IN_QUANTIZED_OP.set(True)
             try:
                 return _invoke(args, output_quantizer, strict_quantization, kwargs)

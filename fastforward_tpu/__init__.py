@@ -94,7 +94,7 @@ __all__ = [
 _LAZY_SUBMODULES = {
     "ops", "nn", "mpath", "range_setting", "kernels", "models",
     "parallel", "serving", "export", "algorithms", "quant_init", "testing",
-    "overrides",
+    "overrides", "autoquant", "native",
 }
 
 # Top-level convenience names resolved lazily from heavier subsystems
@@ -111,6 +111,19 @@ _LAZY_NAMES = {
     "disable_quantization": ("fastforward_tpu.overrides", "disable_quantization"),
     "enable_quantization": ("fastforward_tpu.overrides", "enable_quantization"),
     "sqnr": ("fastforward_tpu.utils.metrics", "sqnr"),
+    "autoquantize": ("fastforward_tpu.autoquant", "autoquantize"),
+    "freeze_parameters": ("fastforward_tpu.quantization.freeze", "freeze_parameters"),
+    "strict_quantization_for_module": (
+        "fastforward_tpu.quantization.strict_quantization",
+        "strict_quantization_for_module",
+    ),
+    "annotate_operator_metadata": (
+        "fastforward_tpu.quantization.quantizer_annotations",
+        "annotate_operator_metadata",
+    ),
+    "random_quantized": ("fastforward_tpu.quantization.random", "random_quantized"),
+    "layerwise_optimize": ("fastforward_tpu.algorithms", "layerwise_optimize"),
+    "gptq": ("fastforward_tpu.algorithms", "gptq"),
 }
 
 

@@ -16,7 +16,8 @@ Prints ONE JSON line:
   weights alone exceed HBM).
 
 Env overrides: FF_BENCH_MODEL=8b|1b|tiny, FF_BENCH_MODE=w4a8|w4a16|w8a8,
-FF_BENCH_BATCH, FF_BENCH_STEPS, FF_BENCH_PREFILL, FF_BENCH_SKIP_BASELINE=1.
+FF_BENCH_BATCH, FF_BENCH_STEPS, FF_BENCH_PREFILL, FF_BENCH_SKIP_BASELINE=1,
+FF_BENCH_FUSED=0|1 (fused QKV/gate-up projections, default on).
 """
 
 import json
@@ -38,6 +39,10 @@ def _build(config, mode, batch, max_len, prefill_len, steps, seed=0):
     )
 
     params, stacked = random_stacked_params(config, mode=mode, seed=seed)
+    if os.environ.get("FF_BENCH_FUSED", "1") == "1" and not mode.startswith("sim"):
+        from fastforward_tpu.serving.stacked import fuse_stacked_layers
+
+        stacked = fuse_stacked_layers(stacked)
     cache = StackedKVCache.create(
         num_layers=config.num_layers, batch_size=batch, max_len=max_len,
         num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,

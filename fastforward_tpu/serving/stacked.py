@@ -62,6 +62,48 @@ def stack_serving_layers(params: ServingParams):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *params.layers)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FusedServingLayer:
+    """Decode-optimized layer: QKV fused into one matmul, gate+up into one.
+
+    Weight fusion is a concat along the *output* (N) axis — trivially valid
+    for both int8 per-channel and packed-int4 per-group storage because the
+    K-axis packing and the scale grids are independent per output column.
+    Cuts kernel launches per layer from 7 to 4; the decode step is
+    launch-overhead-bound at small batch.
+    """
+
+    qkv_proj: "QuantLinearType"
+    o_proj: "QuantLinearType"
+    gateup_proj: "QuantLinearType"
+    down_proj: "QuantLinearType"
+    input_norm: jax.Array
+    post_norm: jax.Array
+
+
+def _concat_ql(qls, axis_name="N"):
+    from fastforward_tpu.serving.engine import QuantLinear
+
+    first = qls[0]
+    assert all(q.mode == first.mode and q.group_size == first.group_size for q in qls)
+    data = jnp.concatenate([q.data for q in qls], axis=-1)
+    scale = jnp.concatenate([q.scale for q in qls], axis=-1)
+    return QuantLinear(data, scale, mode=first.mode, group_size=first.group_size)
+
+
+def fuse_stacked_layers(stacked) -> FusedServingLayer:
+    """Fuse a stacked ServingLayer pytree into a FusedServingLayer."""
+    return FusedServingLayer(
+        qkv_proj=_concat_ql([stacked.q_proj, stacked.k_proj, stacked.v_proj]),
+        o_proj=stacked.o_proj,
+        gateup_proj=_concat_ql([stacked.gate_proj, stacked.up_proj]),
+        down_proj=stacked.down_proj,
+        input_norm=stacked.input_norm,
+        post_norm=stacked.post_norm,
+    )
+
+
 def random_stacked_params(config: LlamaConfig, mode: str = "w4a8",
                           group_size: int = 128, seed: int = 0):
     """Random (params, stacked_layers) with layer weights generated directly
@@ -195,9 +237,15 @@ def serving_forward_stacked(
     def layer_body(x, per_layer):
         layer, kc, vc, ks, vs = per_layer
         h = _rms_norm(x, layer.input_norm, eps)
-        q = split_heads(layer.q_proj(h), nh)
-        k = split_heads(layer.k_proj(h), nkv)
-        v = split_heads(layer.v_proj(h), nkv)
+        if isinstance(layer, FusedServingLayer):
+            qkv = layer.qkv_proj(h)
+            q = split_heads(qkv[..., : nh * d], nh)
+            k = split_heads(qkv[..., nh * d : (nh + nkv) * d], nkv)
+            v = split_heads(qkv[..., (nh + nkv) * d :], nkv)
+        else:
+            q = split_heads(layer.q_proj(h), nh)
+            k = split_heads(layer.k_proj(h), nkv)
+            v = split_heads(layer.v_proj(h), nkv)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -226,8 +274,15 @@ def serving_forward_stacked(
         x = x + layer.o_proj(attn)
 
         h = _rms_norm(x, layer.post_norm, eps)
-        gated = jax.nn.silu(layer.gate_proj(h).astype(jnp.float32)).astype(x.dtype)
-        x = x + layer.down_proj(gated * layer.up_proj(h))
+        if isinstance(layer, FusedServingLayer):
+            gateup = layer.gateup_proj(h)
+            inter = gateup.shape[-1] // 2
+            gate, up = gateup[..., :inter], gateup[..., inter:]
+            gated = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
+            x = x + layer.down_proj(gated * up)
+        else:
+            gated = jax.nn.silu(layer.gate_proj(h).astype(jnp.float32)).astype(x.dtype)
+            x = x + layer.down_proj(gated * layer.up_proj(h))
         return x, (kc, vc, ks, vs)
 
     if cache is not None:

@@ -225,6 +225,14 @@ def matmul_w4a8(
         return matmul_w4a8_reference(
             x_q, x_scale, w_packed, w_scale, bias, group_size, out_dtype
         )
+    if M <= _GEMV_MAX_M:
+        # Decode regime: dequantize the (tiny) activations and use the
+        # panel GEMV kernel — launch/VPU-bound, not activation-bound.
+        xb = (x_q.astype(jnp.float32) * x_scale[:, None]).astype(jnp.bfloat16)
+        out = matmul_w4_gemv(xb, w_packed, w_scale, group_size, out_dtype)
+        if bias is not None:
+            out = (out.astype(jnp.float32) + bias).astype(out_dtype)
+        return out
 
     half = group_size // 2
     bm = _round_block(block_m, 8, max(M, 8))
@@ -259,6 +267,76 @@ def matmul_w4a8(
     if bias is not None:
         out = (out.astype(jnp.float32) + bias).astype(out_dtype)
     return out
+
+
+# =============================================================================
+# W4 GEMV (decode path): small-M panel kernel
+# =============================================================================
+
+
+def _w4_gemv_kernel(x_ref, wp_ref, ws_ref, out_ref, *, n_groups: int, half: int):
+    # Unpack a full-K weight panel in one shot, then a single large-K dot.
+    # i32-wide nibble extraction (int8 shifts are not legal in Mosaic); the
+    # extracted bytes hold the raw two's-complement patterns u ∈ [0, 15].
+    # Sign extension happens in bf16: w = (u_xor8 - 8)·s, using u ^ 8 at i32
+    # width (bitwise, no cross-byte effects) so the arithmetic part is a
+    # plain subtract-8.
+    p32 = pltpu.bitcast(wp_ref[:], jnp.int32)
+    low = pltpu.bitcast(jnp.bitwise_and(p32, 0x0F0F0F0F) ^ 0x08080808, jnp.int8)
+    high = pltpu.bitcast(
+        jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) ^ 0x08080808, jnp.int8
+    )
+    bn = low.shape[-1]
+    lowg = low.reshape(n_groups, half, bn)
+    highg = high.reshape(n_groups, half, bn)
+    u = jnp.concatenate([lowg, highg], axis=1).astype(jnp.bfloat16) - 8.0
+    w = (u * ws_ref[:].astype(jnp.bfloat16)).reshape(n_groups * 2 * half, bn)
+    out_ref[:] = jax.lax.dot(
+        x_ref[:], w, preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def matmul_w4_gemv(
+    x: jax.Array,
+    w_packed: jax.Array,
+    w_scale: jax.Array,
+    group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+    block_n: int = 256,
+) -> jax.Array:
+    """Decode-shaped (small M) weight-only int4 matmul: grid over N panels
+    only, whole-K unpack per panel, one large-K MXU dot. Measured ≈ the XLA
+    int8 GEMV per byte-of-weights on v5e (the launch/VPU-bound regime)."""
+    M, K = x.shape
+    N = w_packed.shape[1]
+    n_groups = K // group_size
+    half = group_size // 2
+    bm = max(8, M)
+    if M < 8:
+        x = jnp.pad(x, ((0, 8 - M), (0, 0)))
+    bn = _round_block(block_n, 128, N)
+    out = pl.pallas_call(
+        functools.partial(_w4_gemv_kernel, n_groups=n_groups, half=half),
+        grid=(pl.cdiv(N, bn),),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // 2, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, 1, bn), lambda j: (0, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bm, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * N * K,
+            bytes_accessed=K * N // 2 + bm * K * 2 + bm * N * 2,
+            transcendentals=0,
+        ),
+    )(x.astype(jnp.bfloat16), w_packed, w_scale.astype(jnp.float32).reshape(n_groups, 1, N))
+    return out[:M]
+
+
+# Decode-vs-prefill routing threshold for the W4 kernels.
+_GEMV_MAX_M = 64
 
 
 # =============================================================================
@@ -318,6 +396,11 @@ def matmul_w4a16(
     out_dtype = out_dtype or x.dtype
     if not _on_tpu():
         return matmul_w4a16_reference(x, w_packed, w_scale, bias, group_size, out_dtype)
+    if M <= _GEMV_MAX_M:
+        out = matmul_w4_gemv(x, w_packed, w_scale, group_size, out_dtype)
+        if bias is not None:
+            out = (out.astype(jnp.float32) + bias).astype(out_dtype)
+        return out
 
     half = group_size // 2
     bm = _round_block(block_m, 8, max(M, 8))

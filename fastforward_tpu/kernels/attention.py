@@ -1,0 +1,185 @@
+"""Flash-decode attention over an INT8 KV cache.
+
+The long-context decode bottleneck: at S=8k, batch 8, the KV cache read is
+larger than the weight read. This kernel streams the *int8* cache tiles
+through VMEM, dequantizing in-register (per-token-per-head scales), with the
+classic online-softmax accumulation — KV HBM traffic stays at 1 byte/elem
+and no dequantized copy of the cache ever exists.
+
+Decode shape: one query token per sequence. GQA is handled by processing all
+``H/Hkv`` query heads of a KV head together (they share the K/V tiles).
+
+Like the other kernels: XLA reference implementation used on non-TPU
+backends and as the numerical oracle.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def flash_decode_int8_reference(
+    q: jax.Array,          # (B, H, d) bf16/f32
+    k: jax.Array,          # (B, Hkv, S, d) int8
+    k_scale: jax.Array,    # (B, Hkv, S) f32
+    v: jax.Array,          # (B, Hkv, S, d) int8
+    v_scale: jax.Array,    # (B, Hkv, S) f32
+    lengths: jax.Array,    # (B,) int32 — valid cache length per sequence
+    scale: Optional[float] = None,
+) -> jax.Array:
+    B, H, d = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    groups = H // Hkv
+    sm_scale = scale if scale is not None else 1.0 / np.sqrt(d)
+
+    kf = k.astype(jnp.float32) * k_scale[..., None]
+    vf = v.astype(jnp.float32) * v_scale[..., None]
+    kf = jnp.repeat(kf, groups, axis=1)
+    vf = jnp.repeat(vf, groups, axis=1)
+    scores = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32), kf) * sm_scale
+    mask = jnp.arange(S)[None, None, :] < lengths[:, None, None]
+    scores = jnp.where(mask, scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhs,bhsd->bhd", weights, vf)
+    return out.astype(q.dtype)
+
+
+def _flash_decode_kernel(
+    len_ref,  # scalar prefetch: (B,) lengths
+    q_ref,    # (G, d)
+    k_ref,    # (BS, d) int8
+    ks_ref,   # (1, BS) f32
+    v_ref,    # (BS, d) int8
+    vs_ref,   # (1, BS) f32
+    out_ref,  # (G, d)
+    m_ref,    # scratch (G, 128) f32 — running max (lane-broadcast)
+    l_ref,    # scratch (G, 128) f32 — running denominator
+    acc_ref,  # scratch (G, d) f32
+    *,
+    block_s: int,
+    sm_scale: float,
+):
+    b = pl.program_id(0)
+    s_idx = pl.program_id(2)
+    n_s = pl.num_programs(2)
+
+    @pl.when(s_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[b]
+    start = s_idx * block_s
+
+    @pl.when(start < length)
+    def _process():
+        kf = k_ref[:].astype(jnp.bfloat16)
+        q = q_ref[:].astype(jnp.bfloat16)
+        # scores (G, BS) = q @ k^T * k_scale * sm_scale
+        scores = jax.lax.dot_general(
+            q, kf, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores * ks_ref[0][None, :] * sm_scale
+
+        positions = start + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(positions < length, scores, NEG_INF)
+
+        m_prev = m_ref[:, 0][:, None]                      # (G, 1)
+        m_cur = jnp.max(scores, axis=1, keepdims=True)     # (G, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)                    # (G, 1)
+        p = jnp.exp(scores - m_new)                        # (G, BS)
+
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+        pv = p * vs_ref[0][None, :]                        # fold v scales
+        vf = v_ref[:].astype(jnp.bfloat16)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+            pv.astype(jnp.bfloat16), vf, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(s_idx == n_s - 1)
+    def _finalize():
+        denom = jnp.maximum(l_ref[:, 0][:, None], 1e-20)
+        out_ref[:] = (acc_ref[:] / denom).astype(out_ref.dtype)
+
+
+def flash_decode_int8(
+    q: jax.Array,
+    k: jax.Array,
+    k_scale: jax.Array,
+    v: jax.Array,
+    v_scale: jax.Array,
+    lengths: jax.Array,
+    scale: Optional[float] = None,
+    block_s: int = 512,
+) -> jax.Array:
+    """Decode attention over int8 KV. Shapes as in the reference impl."""
+    B, H, d = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    groups = H // Hkv
+    sm_scale = float(scale if scale is not None else 1.0 / np.sqrt(d))
+
+    from fastforward_tpu.kernels.matmul import _on_tpu
+
+    if not _on_tpu() or groups < 8:
+        # The kernel wants >=8 query rows per KV head for MXU/VPU tiling;
+        # smaller GQA groups use the XLA path.
+        return flash_decode_int8_reference(q, k, k_scale, v, v_scale, lengths, scale)
+
+    block_s = min(block_s, S)
+    n_s = pl.cdiv(S, block_s)
+    q4 = q.reshape(B, Hkv, groups, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, n_s),
+        in_specs=[
+            pl.BlockSpec((1, 1, groups, d), lambda b, h, s, L: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_s, d), lambda b, h, s, L: (b, h, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block_s), lambda b, h, s, L: (b, h, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_s, d), lambda b, h, s, L: (b, h, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block_s), lambda b, h, s, L: (b, h, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, groups, d), lambda b, h, s, L: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((groups, 128), jnp.float32),
+            pltpu.VMEM((groups, 128), jnp.float32),
+            pltpu.VMEM((groups, d), jnp.float32),
+        ],
+    )
+
+    def kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, m, l, acc):
+        _flash_decode_kernel(
+            len_ref,
+            q_ref.at[0, 0], k_ref.at[0, 0], ks_ref.at[0, 0],
+            v_ref.at[0, 0], vs_ref.at[0, 0], out_ref.at[0, 0],
+            m, l, acc, block_s=block_s, sm_scale=sm_scale,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, groups, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(lengths.astype(jnp.int32), q4, k,
+      k_scale.reshape(B, Hkv, 1, S).astype(jnp.float32), v,
+      v_scale.reshape(B, Hkv, 1, S).astype(jnp.float32))
+    return out.reshape(B, H, d)

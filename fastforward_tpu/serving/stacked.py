@@ -249,6 +249,7 @@ def serving_forward_stacked(
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
+        use_flash = False
         if kc is not None:
             if kc.dtype == jnp.int8:
                 kq8, ksc = _quantize_kv(k)
@@ -257,8 +258,19 @@ def serving_forward_stacked(
                 vc = jax.vmap(write)(vc, vq8, starts)
                 ks = jax.vmap(write_scale)(ks, ksc.astype(ks.dtype), starts)
                 vs = jax.vmap(write_scale)(vs, vsc.astype(vs.dtype), starts)
-                k_all = (kc.astype(jnp.float32) * ks[..., None]).astype(x.dtype)
-                v_all = (vc.astype(jnp.float32) * vs[..., None]).astype(x.dtype)
+                from fastforward_tpu.kernels.attention import flash_decode_int8
+                from fastforward_tpu.kernels.matmul import _on_tpu
+
+                use_flash = T == 1 and groups >= 8 and _on_tpu()
+                if use_flash:
+                    # Stream the int8 cache through the flash-decode kernel —
+                    # no dequantized copy of the cache is ever materialized.
+                    attn = flash_decode_int8(
+                        q[:, :, 0, :], kc, ks, vc, vs, lengths=starts + 1
+                    )[:, :, None, :]
+                else:
+                    k_all = (kc.astype(jnp.float32) * ks[..., None]).astype(x.dtype)
+                    v_all = (vc.astype(jnp.float32) * vs[..., None]).astype(x.dtype)
             else:
                 kc = jax.vmap(write)(kc, k, starts)
                 vc = jax.vmap(write)(vc, v, starts)
@@ -266,10 +278,11 @@ def serving_forward_stacked(
         else:
             k_all, v_all = k, v
 
-        if groups > 1:
-            k_all = jnp.repeat(k_all, groups, axis=1)
-            v_all = jnp.repeat(v_all, groups, axis=1)
-        attn = _attention(q, k_all, v_all, mask)
+        if not use_flash:
+            if groups > 1:
+                k_all = jnp.repeat(k_all, groups, axis=1)
+                v_all = jnp.repeat(v_all, groups, axis=1)
+            attn = _attention(q, k_all, v_all, mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * d)
         x = x + layer.o_proj(attn)
 

@@ -1,0 +1,127 @@
+"""Tensor-parallel serving via shard_map.
+
+GSPMD cannot partition Pallas kernels, so the W4 execution tier scales with
+the explicit-SPMD route: `shard_map` the whole stacked forward over the mesh.
+Each device runs the *same* kernels on its local shard (heads and MLP columns
+split over the ``model`` axis), and the two row-parallel projections psum
+over ICI — the scaling-book recipe, kernel-compatible.
+
+Sharding layout (stacked leaves, leading L axis):
+  column-parallel (q/k/v/gate/up): data (L, K, N)→P(None, None, "model"),
+  scales shard with N; row-parallel (o/down): data→P(None, "model", None),
+  per-group scales (L, K//g, N)→P(None, "model", None).
+KV cache: heads over "model", batch over "data". Embedding/norms/lm_head
+replicated.
+"""
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from fastforward_tpu.models.llama import LlamaConfig
+from fastforward_tpu.serving.engine import QuantLinear, ServingLayer, ServingParams
+from fastforward_tpu.serving.stacked import StackedKVCache, serving_forward_stacked
+
+
+def _ql_spec(ql: QuantLinear, col_parallel: bool) -> QuantLinear:
+    if col_parallel:
+        data = P(None, None, "model")
+        scale = P(None, "model") if ql.scale.ndim == 2 else P(None, None, "model")
+    else:
+        data = P(None, "model", None)
+        scale = P(None) if ql.scale.ndim == 2 else P(None, "model", None)
+    return QuantLinear(data, scale, mode=ql.mode, group_size=ql.group_size)
+
+
+def stacked_layer_specs(stacked: ServingLayer) -> ServingLayer:
+    """PartitionSpec tree for (unfused) stacked layers."""
+    return ServingLayer(
+        q_proj=_ql_spec(stacked.q_proj, True),
+        k_proj=_ql_spec(stacked.k_proj, True),
+        v_proj=_ql_spec(stacked.v_proj, True),
+        o_proj=_ql_spec(stacked.o_proj, False),
+        gate_proj=_ql_spec(stacked.gate_proj, True),
+        up_proj=_ql_spec(stacked.up_proj, True),
+        down_proj=_ql_spec(stacked.down_proj, False),
+        input_norm=P(None, None),
+        post_norm=P(None, None),
+    )
+
+
+def params_specs(params: ServingParams) -> ServingParams:
+    head = None
+    if params.lm_head is not None:
+        head = QuantLinear(
+            P(None, None), P(None) if params.lm_head.scale.ndim == 1 else P(None, None),
+            mode=params.lm_head.mode, group_size=params.lm_head.group_size,
+        )
+    return ServingParams(
+        embedding=P(None, None), layers=(), final_norm=P(None), lm_head=head,
+    )
+
+
+def cache_specs(cache: StackedKVCache) -> StackedKVCache:
+    return StackedKVCache(
+        k=P(None, "data", "model", None, None),
+        v=P(None, "data", "model", None, None),
+        k_scale=None if cache.k_scale is None else P(None, "data", "model", None),
+        v_scale=None if cache.v_scale is None else P(None, "data", "model", None),
+        length=P(),
+    )
+
+
+def shard_for_tp(params: ServingParams, stacked: ServingLayer,
+                 cache: StackedKVCache, mesh: Mesh):
+    """Place params/stacked/cache on the mesh with the TP layout."""
+    def put(tree, specs):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,
+            is_leaf=lambda x: x is None,
+        )
+
+    return (
+        put(params, params_specs(params)),
+        put(stacked, stacked_layer_specs(stacked)),
+        put(cache, cache_specs(cache)),
+    )
+
+
+def make_tp_decode_step(config: LlamaConfig, mesh: Mesh, stacked: ServingLayer,
+                        params: ServingParams, cache: StackedKVCache):
+    """Build the jitted shard_map decode step:
+    (params, stacked, cache, tokens, positions) → (logits, cache)."""
+    tp = int(mesh.shape["model"])
+    if config.num_kv_heads % tp != 0:
+        raise ValueError(
+            f"num_kv_heads={config.num_kv_heads} must divide over tp={tp}"
+        )
+    local_config = dataclasses.replace(
+        config,
+        num_heads=config.num_heads // tp,
+        num_kv_heads=config.num_kv_heads // tp,
+    )
+
+    p_specs = params_specs(params)
+    s_specs = stacked_layer_specs(stacked)
+    c_specs = cache_specs(cache)
+
+    def step(params, stacked, cache, tokens, positions):
+        logits, cache = serving_forward_stacked(
+            params, stacked, local_config, tokens, cache=cache,
+            positions=positions, tp_axis="model",
+        )
+        return logits, cache
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(p_specs, s_specs, c_specs, P("data", None), P(None)),
+        out_specs=(P("data", None, None), c_specs),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

@@ -191,8 +191,14 @@ def serving_forward_stacked(
     input_ids: jax.Array,
     cache: Optional[StackedKVCache] = None,
     positions: Optional[jax.Array] = None,
+    tp_axis: Optional[str] = None,
 ):
-    """Forward with `lax.scan` over layers. Returns (logits, new_cache)."""
+    """Forward with `lax.scan` over layers. Returns (logits, new_cache).
+
+    ``tp_axis``: when running inside `shard_map` with Megatron-style TP
+    (q/k/v/gate/up column-parallel, o/down row-parallel), the name of the
+    model axis — the row-parallel partial sums are `psum`'d over it.
+    """
     B, T = input_ids.shape
     nh, nkv, d = config.num_heads, config.num_kv_heads, config.head_dim
     inv_freq = rope_frequencies(config)
@@ -284,7 +290,10 @@ def serving_forward_stacked(
                 v_all = jnp.repeat(v_all, groups, axis=1)
             attn = _attention(q, k_all, v_all, mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * d)
-        x = x + layer.o_proj(attn)
+        o_out = layer.o_proj(attn)
+        if tp_axis is not None:
+            o_out = jax.lax.psum(o_out, tp_axis)
+        x = x + o_out
 
         h = _rms_norm(x, layer.post_norm, eps)
         if isinstance(layer, FusedServingLayer):
@@ -292,10 +301,13 @@ def serving_forward_stacked(
             inter = gateup.shape[-1] // 2
             gate, up = gateup[..., :inter], gateup[..., inter:]
             gated = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
-            x = x + layer.down_proj(gated * up)
+            mlp_out = layer.down_proj(gated * up)
         else:
             gated = jax.nn.silu(layer.gate_proj(h).astype(jnp.float32)).astype(x.dtype)
-            x = x + layer.down_proj(gated * layer.up_proj(h))
+            mlp_out = layer.down_proj(gated * layer.up_proj(h))
+        if tp_axis is not None:
+            mlp_out = jax.lax.psum(mlp_out, tp_axis)
+        x = x + mlp_out
         return x, (kc, vc, ks, vs)
 
     if cache is not None:

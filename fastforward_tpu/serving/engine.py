@@ -84,22 +84,64 @@ class QuantLinear:
         return out.reshape(*lead, -1)
 
 
-def quantize_linear(w: jax.Array, mode: str, group_size: int = 128) -> QuantLinear:
-    """Quantize a dense (K, N) weight into frozen storage."""
+def quantize_linear(
+    w: jax.Array, mode: str, group_size: int = 128, scale: Optional[jax.Array] = None
+) -> QuantLinear:
+    """Quantize a dense (K, N) weight into frozen storage.
+
+    ``scale``: optional externally calibrated scales (per-out-channel (N,)
+    for w8; per-group (K//g, N) for w4) — e.g. from a sim-tier
+    LinearQuantizer or GPTQ. Defaults to symmetric min-max.
+    """
     w = jnp.asarray(w, jnp.float32)
     K, N = w.shape
     if mode == "w8a8":
-        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-8)
+        if scale is None:
+            scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-8)
+        scale = jnp.asarray(scale, jnp.float32).reshape(N)
         q = jnp.clip(jnp.round(w / scale[None, :]), -128, 127).astype(jnp.int8)
-        return QuantLinear(q, scale.astype(jnp.float32), mode="w8a8")
+        return QuantLinear(q, scale, mode="w8a8")
     if mode in ("w4a8", "w4a16"):
         g = group_size if K % group_size == 0 else K
         wg = w.reshape(K // g, g, N)
-        scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=1) / 7.0, 1e-8)  # (K//g, N)
+        if scale is None:
+            scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=1) / 7.0, 1e-8)  # (K//g, N)
+        scale = jnp.asarray(scale, jnp.float32).reshape(K // g, N)
         q = jnp.clip(jnp.round(wg / scale[:, None, :]), -8, 7).astype(jnp.int8)
         packed = pack_int4(q.reshape(K, N), group_size=g)
-        return QuantLinear(packed, scale.astype(jnp.float32), mode=mode, group_size=g)
+        return QuantLinear(packed, scale, mode=mode, group_size=g)
     raise ValueError(f"unknown mode {mode}")
+
+
+def _scale_from_quantizer(module, w_shape, mode: str, group_size: int):
+    """Extract frozen-storage scales from an initialized sim-tier weight
+    quantizer on ``module`` (LinearQuantizer with a symmetric grid), if its
+    granularity matches the serving mode's layout. Returns None otherwise."""
+    from fastforward_tpu.nn.linear_quantizer import LinearQuantizer
+    from fastforward_tpu.quantization.granularity import PerBlock, PerChannel
+
+    q = getattr(module, "weight_quantizer", None)
+    if not isinstance(q, LinearQuantizer) or q.scale is None or q.offset is not None:
+        return None
+    K, N = w_shape
+    scale = q.scale.value.reshape(-1)
+    gran = q.granularity
+    if mode == "w8a8":
+        if q.num_bits != 8:
+            return None
+        if isinstance(gran, PerChannel) and gran.channel_dims == (1,) and scale.size == N:
+            return scale
+        if scale.size == 1:
+            return jnp.broadcast_to(scale, (N,))
+        return None
+    if q.num_bits != 4:
+        return None
+    g = group_size if K % group_size == 0 else K
+    if isinstance(gran, PerBlock):
+        tile = gran.tile_size(w_shape)
+        if tile == (g, 1):
+            return scale.reshape(K // g, N)
+    return None
 
 
 @jax.tree_util.register_dataclass
@@ -126,19 +168,32 @@ class ServingParams:
 
 
 def freeze_llama(model, mode: str = "w4a8", group_size: int = 128) -> ServingParams:
-    """Convert an (NNX) LlamaForCausalLM into frozen serving params."""
+    """Convert an (NNX) LlamaForCausalLM into frozen serving params.
+
+    When the model was calibrated/GPTQ'd in the simulation tier (its
+    QuantizedLinear weight quantizers hold symmetric grids of matching
+    granularity), those exact scales carry over — the analog of
+    `quantization/freeze.py` but into true low-bit storage, guaranteeing the
+    execution tier reproduces the simulated grid bit-for-bit.
+    """
+
+    def ql(module):
+        w = module.kernel.value
+        scale = _scale_from_quantizer(module, w.shape, mode, group_size)
+        return quantize_linear(w, mode, group_size, scale=scale)
+
     layers = []
     for block in model.layers:
         attn, mlp = block.self_attn, block.mlp
         layers.append(
             ServingLayer(
-                q_proj=quantize_linear(attn.q_proj.kernel.value, mode, group_size),
-                k_proj=quantize_linear(attn.k_proj.kernel.value, mode, group_size),
-                v_proj=quantize_linear(attn.v_proj.kernel.value, mode, group_size),
-                o_proj=quantize_linear(attn.o_proj.kernel.value, mode, group_size),
-                gate_proj=quantize_linear(mlp.gate_proj.kernel.value, mode, group_size),
-                up_proj=quantize_linear(mlp.up_proj.kernel.value, mode, group_size),
-                down_proj=quantize_linear(mlp.down_proj.kernel.value, mode, group_size),
+                q_proj=ql(attn.q_proj),
+                k_proj=ql(attn.k_proj),
+                v_proj=ql(attn.v_proj),
+                o_proj=ql(attn.o_proj),
+                gate_proj=ql(mlp.gate_proj),
+                up_proj=ql(mlp.up_proj),
+                down_proj=ql(mlp.down_proj),
                 input_norm=jnp.asarray(block.input_layernorm.scale.value, jnp.bfloat16),
                 post_norm=jnp.asarray(block.post_attention_layernorm.scale.value, jnp.bfloat16),
             )

@@ -1,4 +1,6 @@
 from fastforward_tpu.kernels.matmul import (
+    matmul_w4a8_gemv,
+    matmul_w4_gemv,
     matmul_w4a8,
     matmul_w4a8_reference,
     matmul_w4a16,
@@ -13,6 +15,8 @@ __all__ = [
     "matmul_w8a8",
     "matmul_w8a8_reference",
     "matmul_w4a8",
+    "matmul_w4a8_gemv",
+    "matmul_w4_gemv",
     "matmul_w4a8_reference",
     "matmul_w4a16",
     "matmul_w4a16_reference",

@@ -9,7 +9,9 @@ from fastforward_tpu.kernels.matmul import (
     matmul_w8a8_reference,
     quantize_rowwise,
 )
+from fastforward_tpu.kernels.attention import flash_decode_int8, flash_decode_int8_reference
 from fastforward_tpu.kernels.packing import pack_int4, unpack_int4
+from fastforward_tpu.kernels import dispatch as _dispatch  # noqa: F401  (registers kernels)
 
 __all__ = [
     "matmul_w8a8",
@@ -22,5 +24,7 @@ __all__ = [
     "matmul_w4a16_reference",
     "quantize_rowwise",
     "pack_int4",
+    "flash_decode_int8",
+    "flash_decode_int8_reference",
     "unpack_int4",
 ]

@@ -132,7 +132,7 @@ def flash_decode_int8(
 
     from fastforward_tpu.kernels.matmul import _on_tpu
 
-    if not _on_tpu() or groups < 8:
+    if not _on_tpu() or groups < 2:
         # The kernel wants >=8 query rows per KV head for MXU/VPU tiling;
         # smaller GQA groups use the XLA path.
         return flash_decode_int8_reference(q, k, k_scale, v, v_scale, lengths, scale)

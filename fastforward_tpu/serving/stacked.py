@@ -267,7 +267,7 @@ def serving_forward_stacked(
                 from fastforward_tpu.kernels.attention import flash_decode_int8
                 from fastforward_tpu.kernels.matmul import _on_tpu
 
-                use_flash = T == 1 and groups >= 8 and _on_tpu()
+                use_flash = T == 1 and groups >= 2 and _on_tpu()
                 if use_flash:
                     # Stream the int8 cache through the flash-decode kernel —
                     # no dequantized copy of the cache is ever materialized.

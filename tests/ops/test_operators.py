@@ -164,3 +164,23 @@ def test_embedding_quantized_weight():
     out = ops.embedding(idx, w, output_quantizer=_oq())
     assert isinstance(out, ff.QuantizedArray)
     assert out.shape == (2, 4)
+
+
+def test_dispatcher_routes_int8_weight_to_w8a8_kernel():
+    """An int8-stored per-channel QuantizedArray weight reaching ops.linear
+    dispatches to the fused W8A8 kernel path, not the dequant fallback."""
+    import fastforward_tpu.kernels  # registers dispatch kernels
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(64, 32).astype(np.float32) * 0.1
+    scale = np.abs(w).max(axis=0) / 127.0
+    wq = ff.quantize_per_channel(
+        jnp.asarray(w), 1, jnp.asarray(scale), num_bits=8,
+        quantized_dtype=jnp.int8,
+    )
+    assert wq.raw_data.dtype == jnp.int8
+    x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    out = ops.linear(x, wq, strict_quantization=False)
+    expected = np.asarray(x) @ (np.asarray(wq.dequantize()))
+    rel = np.abs(np.asarray(out, np.float32) - expected).max() / np.abs(expected).max()
+    assert rel < 0.03

@@ -132,12 +132,19 @@ def flash_decode_int8(
 
     from fastforward_tpu.kernels.matmul import _on_tpu
 
-    if not _on_tpu() or groups < 2:
-        # The kernel wants >=8 query rows per KV head for MXU/VPU tiling;
-        # smaller GQA groups use the XLA path.
+    # Pick a block size that divides S (Mosaic cannot slice padded lane
+    # tails); fall back to the XLA path for hostile shapes or tiny GQA.
+    block_s = min(block_s, S)
+    if S % block_s != 0:
+        for candidate in (512, 256, 128):
+            if candidate <= S and S % candidate == 0:
+                block_s = candidate
+                break
+        else:
+            block_s = 0
+    if not _on_tpu() or groups < 2 or block_s == 0 or d % 128 != 0:
         return flash_decode_int8_reference(q, k, k_scale, v, v_scale, lengths, scale)
 
-    block_s = min(block_s, S)
     n_s = pl.cdiv(S, block_s)
     q4 = q.reshape(B, Hkv, groups, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(

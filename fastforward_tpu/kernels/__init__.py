@@ -1,4 +1,5 @@
 from fastforward_tpu.kernels.matmul import (
+    dequantize_int4,
     matmul_w4a8_gemv,
     matmul_w4_gemv,
     matmul_w4a8,
@@ -18,6 +19,7 @@ __all__ = [
     "matmul_w8a8_reference",
     "matmul_w4a8",
     "matmul_w4a8_gemv",
+    "dequantize_int4",
     "matmul_w4_gemv",
     "matmul_w4a8_reference",
     "matmul_w4a16",

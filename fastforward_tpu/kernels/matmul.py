@@ -232,6 +232,15 @@ def matmul_w4a8(
         if bias is not None:
             out = (out.astype(jnp.float32) + bias).astype(out_dtype)
         return out
+    # Prefill: one-pass Pallas dequant to bf16, then XLA's full-rate matmul
+    # (2.2x over the fused-block kernel on this toolchain; see CLAUDE.md).
+    w = dequantize_int4(w_packed, w_scale, group_size)
+    xb = (x_q.astype(jnp.float32) * x_scale[:, None]).astype(jnp.bfloat16)
+    out = jax.lax.dot(xb, w, preferred_element_type=jnp.float32)
+    out = out * 1.0  # keep f32 for the bias add below
+    if bias is not None:
+        out = out + bias
+    return out.astype(out_dtype)
 
     half = group_size // 2
     bm = _round_block(block_m, 8, max(M, 8))
@@ -414,6 +423,53 @@ def matmul_w4a8_gemv(
 
 
 # =============================================================================
+# Pallas int4 → bf16 dequantization (prefill path)
+# =============================================================================
+
+
+def _dequant_int4_kernel(wp_ref, ws_ref, out_ref, *, half: int):
+    p32 = pltpu.bitcast(wp_ref[:], jnp.int32)
+    low = pltpu.bitcast(jnp.bitwise_and(p32, 0x0F0F0F0F) ^ 0x08080808, jnp.int8)
+    high = pltpu.bitcast(jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) ^ 0x08080808, jnp.int8)
+    s = ws_ref[0].astype(jnp.bfloat16)
+    out_ref[0:half, :] = (low.astype(jnp.bfloat16) - 8.0) * s
+    out_ref[half:, :] = (high.astype(jnp.bfloat16) - 8.0) * s
+
+
+def dequantize_int4(
+    w_packed: jax.Array, w_scale: jax.Array, group_size: int = 128,
+    block_n: int = 512,
+) -> jax.Array:
+    """Unpack + scale packed-int4 weights to a dense bf16 (K, N) array.
+
+    One VMEM pass (≈2.5 VPU ops/elem) — ~20x faster than XLA's elementwise
+    unpack chain on this toolchain. The prefill path uses this once per
+    weight use and feeds XLA's full-rate bf16 matmul.
+    """
+    K2, N = w_packed.shape
+    K = K2 * 2
+    n_groups = K // group_size
+    half = group_size // 2
+    bn = _round_block(block_n, 128, N)
+    return pl.pallas_call(
+        functools.partial(_dequant_int4_kernel, half=half),
+        grid=(n_groups, pl.cdiv(N, bn)),
+        in_specs=[
+            pl.BlockSpec((half, bn), lambda g, j: (g, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda g, j: (g, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group_size, bn), lambda g, j: (g, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, N), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=K * N, bytes_accessed=K * N // 2 + K * N * 2, transcendentals=0
+        ),
+    )(w_packed, w_scale.astype(jnp.float32).reshape(n_groups, 1, N))
+
+
+# =============================================================================
 # W4A16: packed int4 per-group weights, bf16 activations (weight-only)
 # =============================================================================
 
@@ -475,6 +531,13 @@ def matmul_w4a16(
         if bias is not None:
             out = (out.astype(jnp.float32) + bias).astype(out_dtype)
         return out
+    w = dequantize_int4(w_packed, w_scale, group_size)
+    out = jax.lax.dot(
+        x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(out_dtype)
 
     half = group_size // 2
     bm = _round_block(block_m, 8, max(M, 8))

@@ -126,3 +126,23 @@ def test_exported_program_runs(tmp_path, calibrated_model):
     with ff.flags.export_mode(True), ff.strict_quantization(False):
         expected = calibrated_model(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5)
+
+
+def test_export_pipeline_dag(tmp_path, calibrated_model):
+    from fastforward_tpu.export.pipeline import (
+        Pipeline, PipelineRegistry, run_export_pipeline)
+    from fastforward_tpu.exceptions import ExportError
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8), dtype=jnp.float32)
+    ctx = run_export_pipeline(calibrated_model, (x,), str(tmp_path), name="m")
+    assert ctx.artifacts["validated"] is True
+    assert "encodings" in ctx.artifacts
+
+    # DAG mechanics: cycle and unknown-dep detection
+    p = Pipeline("t")
+    p.add_stage("a", lambda c: None)
+    with pytest.raises(ExportError, match="unknown stage"):
+        p.add_stage("b", lambda c: None, after=("zzz",))
+    reg = PipelineRegistry()
+    with pytest.raises(ExportError, match="No export pipeline"):
+        reg.resolve("qnn", "onnx")

@@ -383,7 +383,7 @@ def matmul_w4a8_gemv(
     w_scale: jax.Array,
     group_size: int = 128,
     out_dtype=jnp.bfloat16,
-    block_n: int = 256,
+    block_n: int = 512,
 ) -> jax.Array:
     """Decode-shaped W4A8 matmul on the int8 MXU path (see kernel docs)."""
     M, K = x_q.shape

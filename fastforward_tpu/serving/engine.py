@@ -31,6 +31,14 @@ from fastforward_tpu.kernels import (
     pack_int4,
     quantize_rowwise,
 )
+from fastforward_tpu.kernels.matmul import (
+    _GEMV_MAX_M,
+    _on_tpu,
+    convert_two_level,
+    dequantize_int4,
+    matmul_w4a8_2l_gemv,
+    matmul_w4a8_2l_reference,
+)
 from fastforward_tpu.models.llama import LlamaConfig, apply_rope, rope_frequencies
 from fastforward_tpu.serving.kv_cache import KVCache
 
@@ -41,9 +49,12 @@ class QuantLinear:
     """Frozen quantized linear weights (layout (in, out))."""
 
     data: jax.Array  # int8 (K, N) for w8; packed int8 (K//2, N) for w4
-    scale: jax.Array  # (N,) for w8; (K//G, N) for w4
+    scale: jax.Array  # (N,) for w8 and w4a8_2l (per-column); (K//G, N) for w4
     mode: str = dataclasses.field(metadata=dict(static=True), default="w8a8")
     group_size: int = dataclasses.field(metadata=dict(static=True), default=128)
+    # Two-level mode only: per-group integer multipliers (K//G, N) int8 in
+    # [1, 15]; the effective group scale is mult * scale[None, :].
+    mult: Optional[jax.Array] = None
 
     def __call__(self, x: jax.Array, out_dtype=jnp.bfloat16) -> jax.Array:
         """Apply y = x @ W with the mode's kernel. x: (..., K)."""
@@ -59,6 +70,22 @@ class QuantLinear:
                 x_q, x_s, self.data, self.scale,
                 group_size=self.group_size, out_dtype=out_dtype,
             )
+        elif self.mode == "w4a8_2l":
+            x_q, x_s = quantize_rowwise(x2)
+            if x2.shape[0] <= _GEMV_MAX_M or not _on_tpu():
+                out = matmul_w4a8_2l_gemv(
+                    x_q, x_s, self.data, self.mult, self.scale,
+                    group_size=self.group_size, out_dtype=out_dtype,
+                )
+            else:
+                # Prefill: effective per-group scales are exactly
+                # mult * s_col — reuse the one-pass dequant + XLA matmul.
+                s_eff = self.mult.astype(jnp.float32) * self.scale[None, :]
+                w = dequantize_int4(self.data, s_eff, self.group_size)
+                xb = (x_q.astype(jnp.float32) * x_s[:, None]).astype(jnp.bfloat16)
+                out = jax.lax.dot(
+                    xb, w, preferred_element_type=jnp.float32
+                ).astype(out_dtype)
         elif self.mode == "w4a16":
             out = matmul_w4a16(
                 x2.astype(jnp.bfloat16), self.data, self.scale,
@@ -101,7 +128,7 @@ def quantize_linear(
         scale = jnp.asarray(scale, jnp.float32).reshape(N)
         q = jnp.clip(jnp.round(w / scale[None, :]), -128, 127).astype(jnp.int8)
         return QuantLinear(q, scale, mode="w8a8")
-    if mode in ("w4a8", "w4a16"):
+    if mode in ("w4a8", "w4a16", "w4a8_2l"):
         g = group_size if K % group_size == 0 else K
         wg = w.reshape(K // g, g, N)
         if scale is None:
@@ -109,6 +136,9 @@ def quantize_linear(
         scale = jnp.asarray(scale, jnp.float32).reshape(K // g, N)
         q = jnp.clip(jnp.round(wg / scale[:, None, :]), -8, 7).astype(jnp.int8)
         packed = pack_int4(q.reshape(K, N), group_size=g)
+        if mode == "w4a8_2l":
+            packed, mult, s_col = convert_two_level(packed, scale, g)
+            return QuantLinear(packed, s_col, mode=mode, group_size=g, mult=mult)
         return QuantLinear(packed, scale, mode=mode, group_size=g)
     raise ValueError(f"unknown mode {mode}")
 

@@ -89,7 +89,12 @@ def _concat_ql(qls, axis_name="N"):
     assert all(q.mode == first.mode and q.group_size == first.group_size for q in qls)
     data = jnp.concatenate([q.data for q in qls], axis=-1)
     scale = jnp.concatenate([q.scale for q in qls], axis=-1)
-    return QuantLinear(data, scale, mode=first.mode, group_size=first.group_size)
+    mult = None
+    if first.mult is not None:
+        mult = jnp.concatenate([q.mult for q in qls], axis=-1)
+    return QuantLinear(
+        data, scale, mode=first.mode, group_size=first.group_size, mult=mult
+    )
 
 
 def fuse_stacked_layers(stacked) -> FusedServingLayer:
@@ -138,6 +143,11 @@ def random_stacked_params(config: LlamaConfig, mode: str = "w4a8",
             return QuantLinear(data, scale, mode=mode)
         g = group_size if K % group_size == 0 else K
         packed = _pack_rand(key, L, K, N, g)
+        if mode == "w4a8_2l":
+            k1, k2 = jax.random.split(key)
+            mult = jax.random.randint(k2, (L, K // g, N), 1, 16, dtype=jnp.int8)
+            s_col = jnp.full((L, N), 0.25 / np.sqrt(K) / 8.0, jnp.float32)
+            return QuantLinear(packed, s_col, mode=mode, group_size=g, mult=mult)
         scale = jnp.full((L, K // g, N), 0.25 / np.sqrt(K), jnp.float32)
         return QuantLinear(packed, scale, mode=mode, group_size=g)
 
@@ -169,8 +179,14 @@ def random_stacked_params(config: LlamaConfig, mode: str = "w4a8",
             )
         g = group_size if K % group_size == 0 else K
         q = jax.random.randint(key, (K, N), -8, 8, dtype=jnp.int8)
+        packed = pack_int4(q, group_size=g)
+        if mode == "w4a8_2l":
+            k1, k2 = jax.random.split(key)
+            mult = jax.random.randint(k2, (K // g, N), 1, 16, dtype=jnp.int8)
+            s_col = jnp.full((N,), 0.25 / np.sqrt(K) / 8.0, jnp.float32)
+            return QuantLinear(packed, s_col, mode=mode, group_size=g, mult=mult)
         return QuantLinear(
-            pack_int4(q, group_size=g),
+            packed,
             jnp.full((K // g, N), 0.25 / np.sqrt(K), jnp.float32),
             mode=mode, group_size=g,
         )

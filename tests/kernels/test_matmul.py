@@ -107,6 +107,78 @@ def test_w4a8_exact_vs_dequantized_oracle():
     assert rel < 0.2
 
 
+def test_two_level_conversion_and_oracle():
+    # Two-level W4A8 (QServe-style): per-group scales constrained to integer
+    # multiples of a per-column scale. Conversion must (a) stay within a
+    # fraction of the intrinsic W4 quantization noise and (b) the integer
+    # oracle must equal the dequantized-matmul formulation exactly.
+    from fastforward_tpu.kernels import (
+        convert_two_level,
+        matmul_w4a8_2l_gemv,
+        matmul_w4a8_2l_reference,
+    )
+
+    rng = np.random.RandomState(5)
+    K, N, g = 512, 128, 128
+    n_groups = K // g
+    w = rng.randn(K, N).astype(np.float32)
+    # widen group-scale variation to stress the multiplier grid
+    w *= np.exp(rng.randn(n_groups, 1, 1) * 0.5).repeat(g, 1).reshape(K, 1)
+    w_q, w_scale = _quantize_w4_groups(w, g)
+    packed = pack_int4(jnp.asarray(w_q), group_size=g)
+
+    p2, mult, s_col = convert_two_level(packed, jnp.asarray(w_scale), g)
+    assert mult.dtype == jnp.int8
+    assert 1 <= int(jnp.min(mult)) and int(jnp.max(mult)) <= 15
+
+    # (a) representation error: small vs intrinsic quantization noise
+    w_orig = _dequant_w4(w_q, w_scale, g)
+    s_eff = np.asarray(mult, np.float32) * np.asarray(s_col)[None, :]
+    w_2l = _dequant_w4(np.asarray(unpack_int4(p2, g)), s_eff, g)
+    extra = ((w_2l - w_orig) ** 2).mean()
+    quant_noise = ((w_orig - w) ** 2).mean()
+    assert extra < 0.6 * quant_noise
+
+    # (b) integer oracle == dequant matmul, and CPU entry point == oracle
+    x = rng.randn(4, K).astype(np.float32)
+    x_q, x_scale = quantize_rowwise(jnp.asarray(x))
+    out = matmul_w4a8_2l_reference(
+        x_q, x_scale, p2, mult, s_col, out_dtype=jnp.float32
+    )
+    x_dq = np.asarray(x_q, np.float32) * np.asarray(x_scale)[:, None]
+    oracle = x_dq @ w_2l
+    np.testing.assert_allclose(np.asarray(out), oracle, rtol=2e-4, atol=2e-4)
+    out_entry = matmul_w4a8_2l_gemv(
+        x_q, x_scale, p2, mult, s_col, out_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(out_entry), np.asarray(out), rtol=1e-6)
+
+
+def test_two_level_swar_byte_math():
+    # The kernel's SWAR identity, checked in pure numpy int32 arithmetic:
+    # packed bytes u=v+8, ((u*m) + (128-8m)) ^ 0x80 == int8 pattern of v*m.
+    for v in range(-8, 8):
+        for m in range(1, 16):
+            u = v + 8
+            t = (u * m + (128 - 8 * m)) ^ 0x80
+            assert 0 <= u * m <= 225 and 0 <= t <= 255
+            got = np.uint8(t).astype(np.int8)
+            assert got == v * m, (v, m)
+
+
+def test_quantlinear_two_level_mode():
+    from fastforward_tpu.serving.engine import quantize_linear
+
+    rng = np.random.RandomState(6)
+    w = rng.randn(256, 64).astype(np.float32)
+    ql = quantize_linear(jnp.asarray(w), "w4a8_2l", group_size=128)
+    assert ql.mult is not None and ql.scale.shape == (64,)
+    x = rng.randn(4, 256).astype(np.float32)
+    out = ql(jnp.asarray(x), out_dtype=jnp.float32)
+    rel = np.abs(np.asarray(out) - x @ w).max() / np.abs(x @ w).max()
+    assert rel < 0.2  # within int4-noise of the float product
+
+
 def test_w4a8_bias():
     rng = np.random.RandomState(4)
     x = rng.randn(4, 128).astype(np.float32)

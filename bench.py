@@ -101,6 +101,12 @@ def main():
         "tiny": LlamaConfig.tiny(),
     }
     config = configs[model]
+    if os.environ.get("FF_BENCH_LAYERS"):
+        import dataclasses
+
+        config = dataclasses.replace(
+            config, num_layers=int(os.environ["FF_BENCH_LAYERS"])
+        )
 
     tok_s = measure_decode(config, mode, batch, prefill_len, steps)
 

@@ -14,7 +14,12 @@ from fastforward_tpu.kernels.matmul import (
     quantize_rowwise,
 )
 from fastforward_tpu.kernels.attention import flash_decode_int8, flash_decode_int8_reference
-from fastforward_tpu.kernels.packing import pack_int4, unpack_int4
+from fastforward_tpu.kernels.packing import (
+    pack_int4,
+    pack_uint4_offset,
+    unpack_int4,
+    unpack_uint4_offset,
+)
 from fastforward_tpu.kernels import dispatch as _dispatch  # noqa: F401  (registers kernels)
 
 __all__ = [
@@ -32,7 +37,9 @@ __all__ = [
     "matmul_w4a8_2l_gemv",
     "matmul_w4a8_2l_reference",
     "pack_int4",
+    "pack_uint4_offset",
     "flash_decode_int8",
     "flash_decode_int8_reference",
     "unpack_int4",
+    "unpack_uint4_offset",
 ]

@@ -33,7 +33,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fastforward_tpu.kernels.packing import pack_int4, unpack_int4
+from fastforward_tpu.kernels.packing import (
+    pack_int4,
+    pack_uint4_offset,
+    unpack_int4,
+    unpack_uint4_offset,
+)
 
 
 def _on_tpu() -> bool:
@@ -453,7 +458,9 @@ def convert_two_level(
     Returns ``(packed', mult, s_col)`` with ``mult`` (n_groups, N) int8 in
     [1, 15] and ``s_col`` (N,) f32; the effective per-group scale becomes
     ``mult * s_col`` (exactly representable — parity with the simulation
-    tier is preserved by using that product as the sim scale).
+    tier is preserved by using that product as the sim scale). ``packed'``
+    stores *offset-binary* nibbles (`pack_uint4_offset` layout) so the
+    decode kernel skips the offset XOR.
     """
     n_groups, N = w_scale.shape
     K = w_packed.shape[0] * 2
@@ -466,7 +473,7 @@ def convert_two_level(
     w = v * s[:, None, :]
     v2 = jnp.clip(jnp.round(w / s_eff[:, None, :]), -8, 7).astype(jnp.int8)
     return (
-        pack_int4(v2.reshape(K, N), group_size=g),
+        pack_uint4_offset(v2.reshape(K, N), group_size=g),
         m.astype(jnp.int8),
         s_col,
     )
@@ -477,11 +484,16 @@ def matmul_w4a8_2l_reference(
     s_col: jax.Array, bias: Optional[jax.Array] = None, group_size: int = 128,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """Oracle: integer math end-to-end, then one fp scaling."""
+    """Oracle: integer math end-to-end, then one fp scaling.
+
+    ``w_packed`` is in the offset-binary at-rest layout (`pack_uint4_offset`).
+    """
     M, K = x_q.shape
     N = w_packed.shape[1]
     n_groups = K // group_size
-    v = unpack_int4(w_packed, group_size).reshape(n_groups, group_size, N)
+    v = unpack_uint4_offset(w_packed, group_size).reshape(
+        n_groups, group_size, N
+    )
     w8 = (v.astype(jnp.int32) * mult.astype(jnp.int32)[:, None, :]).reshape(K, N)
     acc = jax.lax.dot(
         x_q.astype(jnp.int32), w8, preferred_element_type=jnp.int32
@@ -499,7 +511,7 @@ _B0x80 = -2139062144
 
 def _w4a8_2l_gemv_kernel(
     x_ref, xs_ref, wp_ref, m_ref, sc_ref, out_ref, acc_ref,
-    *, n_groups: int, half: int, concat_groups: int,
+    *, n_groups: int, half: int, concat_groups: int, nofold: bool = False,
 ):
     # SWAR scale-fold: with 4 packed offset-binary nibbles u = v+8 ∈ [0,15]
     # per i32 and m ∈ [1,15]:
@@ -516,15 +528,25 @@ def _w4a8_2l_gemv_kernel(
     # one whole-block MXU dot. A VMEM-scratch variant (materialize a big w8
     # panel, then one giant dot) measured ~25% slower end-to-end on v5e —
     # the store→load round-trip serializes against the dot.
+    #
+    # The at-rest nibbles are already offset-binary (u = v+8, see
+    # `pack_uint4_offset`), so the fold is AND/MUL/ADD/XOR per plane —
+    # the offset XOR was hoisted to pack time (the decode path is
+    # VPU-bound; every packed op counts).
     G = 2 * half
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def fold(g):
+        p32 = pltpu.bitcast(wp_ref[g * half:(g + 1) * half, :], jnp.int32)
+        if nofold:
+            # Diagnostic only (FF_2L_NOFOLD=1): wrong numerics, same memory
+            # traffic and dot structure — isolates the VPU fold cost.
+            w = pltpu.bitcast(jnp.bitwise_and(p32, 0x0F0F0F0F), jnp.int8)
+            return w, w
         m32 = m_ref[g, 0, :].reshape(1, -1)
         bias32 = _B0x80 - m32 * 0x08080808  # bytes: 128 − 8m ∈ [8, 120]
-        p32 = pltpu.bitcast(wp_ref[g * half:(g + 1) * half, :], jnp.int32)
-        lo = (jnp.bitwise_and(p32, 0x0F0F0F0F) ^ 0x08080808) * m32
-        hi = (jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) ^ 0x08080808) * m32
+        lo = jnp.bitwise_and(p32, 0x0F0F0F0F) * m32
+        hi = jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) * m32
         return (
             pltpu.bitcast((lo + bias32) ^ _B0x80, jnp.int8),
             pltpu.bitcast((hi + bias32) ^ _B0x80, jnp.int8),
@@ -580,6 +602,7 @@ def matmul_w4a8_2l_gemv(
         functools.partial(
             _w4a8_2l_gemv_kernel,
             n_groups=n_groups, half=half, concat_groups=concat_groups,
+            nofold=_os.environ.get("FF_2L_NOFOLD") == "1",
         ),
         grid=(pl.cdiv(N, bn),),
         in_specs=[
@@ -609,10 +632,15 @@ def matmul_w4a8_2l_gemv(
 # =============================================================================
 
 
-def _dequant_int4_kernel(wp_ref, ws_ref, out_ref, *, half: int):
+def _dequant_int4_kernel(wp_ref, ws_ref, out_ref, *, half: int, offset_binary: bool):
     p32 = pltpu.bitcast(wp_ref[:], jnp.int32)
-    low = pltpu.bitcast(jnp.bitwise_and(p32, 0x0F0F0F0F) ^ 0x08080808, jnp.int8)
-    high = pltpu.bitcast(jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) ^ 0x08080808, jnp.int8)
+    lo32 = jnp.bitwise_and(p32, 0x0F0F0F0F)
+    hi32 = jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F)
+    if not offset_binary:  # two's-complement nibbles: map to u = v+8 first
+        lo32 = lo32 ^ 0x08080808
+        hi32 = hi32 ^ 0x08080808
+    low = pltpu.bitcast(lo32, jnp.int8)
+    high = pltpu.bitcast(hi32, jnp.int8)
     s = ws_ref[0].astype(jnp.bfloat16)
     out_ref[0:half, :] = (low.astype(jnp.bfloat16) - 8.0) * s
     out_ref[half:, :] = (high.astype(jnp.bfloat16) - 8.0) * s
@@ -620,21 +648,29 @@ def _dequant_int4_kernel(wp_ref, ws_ref, out_ref, *, half: int):
 
 def dequantize_int4(
     w_packed: jax.Array, w_scale: jax.Array, group_size: int = 128,
-    block_n: int = 512,
+    block_n: int = 512, offset_binary: bool = False,
 ) -> jax.Array:
     """Unpack + scale packed-int4 weights to a dense bf16 (K, N) array.
 
     One VMEM pass (≈2.5 VPU ops/elem) — ~20x faster than XLA's elementwise
     unpack chain on this toolchain. The prefill path uses this once per
-    weight use and feeds XLA's full-rate bf16 matmul.
+    weight use and feeds XLA's full-rate bf16 matmul. ``offset_binary``
+    selects the `pack_uint4_offset` at-rest layout (two-level mode).
     """
     K2, N = w_packed.shape
     K = K2 * 2
     n_groups = K // group_size
     half = group_size // 2
+    if not _on_tpu():
+        unpack = unpack_uint4_offset if offset_binary else unpack_int4
+        v = unpack(w_packed, group_size).astype(jnp.float32)
+        v = v.reshape(n_groups, group_size, N) * w_scale.astype(jnp.float32)[:, None, :]
+        return v.reshape(K, N).astype(jnp.bfloat16)
     bn = _round_block(block_n, 128, N)
     return pl.pallas_call(
-        functools.partial(_dequant_int4_kernel, half=half),
+        functools.partial(
+            _dequant_int4_kernel, half=half, offset_binary=offset_binary
+        ),
         grid=(n_groups, pl.cdiv(N, bn)),
         in_specs=[
             pl.BlockSpec((half, bn), lambda g, j: (g, j), memory_space=pltpu.VMEM),

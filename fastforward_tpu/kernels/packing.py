@@ -33,6 +33,36 @@ def pack_int4(w: jax.Array, group_size: int = 128) -> jax.Array:
     return packed.reshape(K // 2, N).astype(jnp.int8)
 
 
+def pack_uint4_offset(w: jax.Array, group_size: int = 128) -> jax.Array:
+    """Pack int4 grid values as *offset-binary* nibbles (u = v + 8 ∈ [0, 15]).
+
+    Same layout as :func:`pack_int4` but each stored nibble is the unsigned
+    offset pattern. This is the at-rest format of the two-level W4A8 mode:
+    the decode kernel's SWAR scale-fold needs u directly, so pre-offsetting
+    at pack time removes one packed-XOR per nibble-plane per group from the
+    per-token critical path.
+    """
+    K, N = w.shape
+    if K % group_size != 0:
+        raise ValueError(f"K={K} not divisible by group_size={group_size}")
+    half = group_size // 2
+    u = (w.astype(jnp.int32) + 8).reshape(K // group_size, group_size, N)
+    low = u[:, :half]
+    high = u[:, half:]
+    packed = low | (high << 4)
+    return packed.reshape(K // 2, N).astype(jnp.int8)
+
+
+def unpack_uint4_offset(packed: jax.Array, group_size: int = 128) -> jax.Array:
+    """Inverse of :func:`pack_uint4_offset`: (K//2, N) → (K, N) int8 in [-8, 7]."""
+    K2, N = packed.shape
+    half = group_size // 2
+    p = packed.astype(jnp.int32).reshape(K2 // half, half, N)
+    low = (p & 0xF) - 8
+    high = ((p >> 4) & 0xF) - 8
+    return jnp.concatenate([low, high], axis=1).reshape(2 * K2, N).astype(jnp.int8)
+
+
 def unpack_int4(packed: jax.Array, group_size: int = 128) -> jax.Array:
     """Inverse of :func:`pack_int4`: (K//2, N) int8 → (K, N) int8 in [-8, 7]."""
     K2, N = packed.shape

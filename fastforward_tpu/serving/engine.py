@@ -81,7 +81,9 @@ class QuantLinear:
                 # Prefill: effective per-group scales are exactly
                 # mult * s_col — reuse the one-pass dequant + XLA matmul.
                 s_eff = self.mult.astype(jnp.float32) * self.scale[None, :]
-                w = dequantize_int4(self.data, s_eff, self.group_size)
+                w = dequantize_int4(
+                    self.data, s_eff, self.group_size, offset_binary=True
+                )
                 xb = (x_q.astype(jnp.float32) * x_s[:, None]).astype(jnp.bfloat16)
                 out = jax.lax.dot(
                     xb, w, preferred_element_type=jnp.float32

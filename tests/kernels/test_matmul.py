@@ -116,6 +116,7 @@ def test_two_level_conversion_and_oracle():
         convert_two_level,
         matmul_w4a8_2l_gemv,
         matmul_w4a8_2l_reference,
+        unpack_uint4_offset,
     )
 
     rng = np.random.RandomState(5)
@@ -134,7 +135,7 @@ def test_two_level_conversion_and_oracle():
     # (a) representation error: small vs intrinsic quantization noise
     w_orig = _dequant_w4(w_q, w_scale, g)
     s_eff = np.asarray(mult, np.float32) * np.asarray(s_col)[None, :]
-    w_2l = _dequant_w4(np.asarray(unpack_int4(p2, g)), s_eff, g)
+    w_2l = _dequant_w4(np.asarray(unpack_uint4_offset(p2, g)), s_eff, g)
     extra = ((w_2l - w_orig) ** 2).mean()
     quant_noise = ((w_orig - w) ** 2).mean()
     assert extra < 0.6 * quant_noise

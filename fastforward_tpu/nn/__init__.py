@@ -11,6 +11,7 @@ from fastforward_tpu.nn.layers import (
     QuantizedLayerNorm,
     QuantizedLinear,
     QuantizedRMSNorm,
+    QuantizedSequential,
 )
 from fastforward_tpu.nn.linear_quantizer import DynamicLinearQuantizer, LinearQuantizer
 from fastforward_tpu.nn.quantized_module import (
@@ -54,4 +55,5 @@ __all__ = [
     "QuantizedLayerNorm",
     "QuantizedRMSNorm",
     "QuantizedDropout",
+    "QuantizedSequential",
 ]

@@ -152,6 +152,20 @@ class QuantizedRMSNorm(QuantizedModule, nnx.RMSNorm):
         )
 
 
+class QuantizedSequential(QuantizedModule, nnx.Sequential):
+    """Container counterpart (reference `nn/container.py:9-25`,
+    QuantizedSequential/ModuleList/...). NNX containers hold children as
+    pytree attributes, so conversion needs no quantizers of its own — the
+    QuantizedModule registration only marks the container as quantized and
+    lets `quantize_model` recurse through it without raising on an
+    unknown module type. Other reference containers (ModuleList/Dict,
+    ParameterList/Dict) have no NNX counterpart: plain lists/dicts are
+    already graph nodes that `quantize_model` traverses."""
+
+    def __init_quantization__(self) -> None:
+        super().__init_quantization__()
+
+
 class QuantizedDropout(QuantizedModule, nnx.Dropout):
     """Dropout passes quantized data through when inactive; when active it
     dequantizes (dropout of grid values with rescale leaves the grid)."""

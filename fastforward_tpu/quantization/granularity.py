@@ -18,6 +18,7 @@ import abc
 from typing import Any, Literal, Sequence
 
 from fastforward_tpu.quantization.tiling import check_tile_compatibility
+from fastforward_tpu.utils.serialization import yamlable
 
 Shape = tuple[int, ...]
 TileSize = tuple[int, ...]
@@ -77,6 +78,7 @@ class Granularity(abc.ABC):
         return ()
 
 
+@yamlable
 class PerTensor(Granularity):
     """One parameter set for the whole tensor."""
 
@@ -84,6 +86,7 @@ class PerTensor(Granularity):
         return "data_shape"
 
 
+@yamlable
 class PerChannel(Granularity):
     """One parameter set per index along ``channel_dims``.
 
@@ -107,6 +110,7 @@ class PerChannel(Granularity):
         return (self.channel_dims,)
 
 
+@yamlable
 class PerBlock(Granularity):
     """Blocked quantization: fixed-size blocks along ``block_dims``, optionally
     per-channel along ``per_channel_dims``.
@@ -164,6 +168,7 @@ class PerBlock(Granularity):
         return (self.block_dims, self.block_sizes, self.per_channel_dims, self.strict_blocks)
 
 
+@yamlable
 class PerTile(Granularity):
     """Explicit tile shape.
 

@@ -16,7 +16,32 @@ __all__ = [
     "initialize_quantizers_to_linear_quantizer",
     "seed_prngs",
     "is_close_to_rounding",
+    "dedent_strip",
+    "assert_strings_match_verbose",
 ]
+
+
+def dedent_strip(s: str) -> str:
+    """Dedent + strip a triple-quoted block (reference `testing/string.py:8`)."""
+    import textwrap
+
+    return textwrap.dedent(s).strip()
+
+
+def assert_strings_match_verbose(actual: str, expected: str) -> None:
+    """Assert string equality with a line-level diff on mismatch
+    (reference `testing/string.py:13`)."""
+    if actual == expected:
+        return
+    import difflib
+
+    diff = "\n".join(
+        difflib.unified_diff(
+            expected.splitlines(), actual.splitlines(),
+            fromfile="expected", tofile="actual", lineterm="",
+        )
+    )
+    raise AssertionError(f"strings do not match:\n{diff}")
 
 
 def seed_prngs(seed: int = 0xF0F0) -> jax.Array:

@@ -40,3 +40,13 @@ def import_by_name(name: str) -> Any:
     """Resolve a qualified name lazily (reference `QualifiedNameReference`)."""
     mod_name, _, attr = name.rpartition(".")
     return getattr(importlib.import_module(mod_name), attr)
+
+
+class classproperty:
+    """Read-only property on the class (reference `_utils/classproperty.py`)."""
+
+    def __init__(self, fget: Callable[[type], Any]):
+        self.fget = fget
+
+    def __get__(self, obj: Any, owner: Optional[type] = None) -> Any:
+        return self.fget(owner if owner is not None else type(obj))

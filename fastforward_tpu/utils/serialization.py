@@ -17,7 +17,14 @@ _REGISTRY: dict[str, type] = {}
 
 
 def yamlable(cls: type) -> type:
-    """Class decorator: record init args, register for YAML round-tripping."""
+    """Class decorator: record init args, register for YAML round-tripping.
+
+    Idempotent — re-decorating a class (or decorating a subclass whose
+    ``__init__`` is already wrapped) is a no-op for that ``__init__``.
+    """
+    if cls.__dict__.get("_ff_yamlable"):
+        return cls
+    cls._ff_yamlable = True
     original_init = cls.__init__
     sig = inspect.signature(original_init)
 
@@ -111,14 +118,6 @@ def load(text: str) -> Any:
     return yaml.load(text, Loader=FFLoader)
 
 
-# Make the core configuration classes yamlable.
-def _register_core() -> None:
-    from fastforward_tpu.quantization import granularity as g
-
-    for cls in (g.PerTensor, g.PerChannel, g.PerBlock, g.PerTile):
-        if not hasattr(cls, "_registered_yamlable"):
-            yamlable(cls)
-            cls._registered_yamlable = True
-
-
-_register_core()
+# Granularity classes decorate themselves at definition time
+# (quantization/granularity.py) so instances constructed before this module
+# is imported still round-trip. Nothing to register here.

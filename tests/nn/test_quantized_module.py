@@ -212,3 +212,39 @@ def test_nnx_split_works_after_conversion(mlp):
     graphdef, state = nnx.split(mlp)
     rebuilt = nnx.merge(graphdef, state)
     assert isinstance(rebuilt.fc1, ffnn.QuantizedLinear)
+
+
+def test_quantized_sequential_container():
+    # Containers convert transparently and recurse into children
+    # (reference nn/container.py: QuantizedSequential).
+    model = nnx.Sequential(
+        nnx.Linear(4, 8, rngs=nnx.Rngs(0)),
+        nnx.Linear(8, 2, rngs=nnx.Rngs(1)),
+    )
+    x = jnp.asarray(np.random.randn(3, 4), dtype=jnp.float32)
+    expected = np.asarray(model(x))
+    ffnn.quantize_model(model)
+    assert isinstance(model, ffnn.QuantizedSequential)
+    assert all(isinstance(l, ffnn.QuantizedLinear) for l in model.layers)
+    with ff.strict_quantization(False):
+        out = model(x)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_string_helpers_and_classproperty():
+    from fastforward_tpu.testing import assert_strings_match_verbose, dedent_strip
+    from fastforward_tpu.utils.common import classproperty
+
+    assert dedent_strip("""
+        a
+          b
+    """) == "a\n  b"
+    with pytest.raises(AssertionError, match="strings do not match"):
+        assert_strings_match_verbose("a\nb", "a\nc")
+
+    class C:
+        @classproperty
+        def name(cls):
+            return cls.__name__
+
+    assert C.name == "C" and C().name == "C"

@@ -111,3 +111,18 @@ def test_stubs_not_saved(tmp_path):
     with open(tmp_path / "state" / "config.yaml") as f:
         saved = yaml.safe_load(f)
     assert saved["quantizers"] == {}
+
+
+def test_granularity_yamlable_regardless_of_import_order(tmp_path):
+    # Regression: granularities are @yamlable at class definition, so
+    # instances constructed before utils.serialization is imported still
+    # serialize (previously a lazy _register_core() left early instances
+    # without recorded init args and save_quantization_state raised).
+    g = ff.PerTensor()
+    assert hasattr(g, "_yaml_init_args")
+    from fastforward_tpu.utils import serialization
+
+    text = serialization.dump({"g": g, "b": ff.PerBlock(0, 64, 1)})
+    restored = serialization.load(text)
+    assert restored["g"] == ff.PerTensor()
+    assert restored["b"] == ff.PerBlock(0, 64, 1)

@@ -260,6 +260,10 @@ def random_serving_params(
         g = group_size if k_dim % group_size == 0 else k_dim
         q = jax.random.randint(k1, (k_dim, n_dim), -8, 8, dtype=jnp.int8)
         packed = pack_int4(q, group_size=g)
+        if mode == "w4a8_2l":
+            mult = jax.random.randint(k2, (k_dim // g, n_dim), 1, 16, dtype=jnp.int8)
+            s_col = jnp.full((n_dim,), 0.25 / np.sqrt(k_dim) / 8.0, jnp.float32)
+            return QuantLinear(packed, s_col, mode=mode, group_size=g, mult=mult)
         scale = jnp.full((k_dim // g, n_dim), 0.25 / np.sqrt(k_dim), jnp.float32)
         return QuantLinear(packed, scale, mode=mode, group_size=g)
 

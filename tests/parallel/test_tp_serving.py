@@ -26,7 +26,7 @@ def config():
     )
 
 
-@pytest.mark.parametrize("mode", ["w8a8", "w4a8"])
+@pytest.mark.parametrize("mode", ["w8a8", "w4a8", "w4a8_2l"])
 def test_tp_shard_map_matches_single_device(config, mode):
     params, stacked = random_stacked_params(config, mode=mode, seed=0, group_size=32)
     mesh = make_mesh({"data": 2, "model": 4})

@@ -1,8 +1,16 @@
 from fastforward_tpu.parallel.mesh import make_mesh
+from fastforward_tpu.parallel.context import context_parallel_attention, ring_attention
 from fastforward_tpu.parallel.sharding import (
     shard_kv_cache,
     shard_serving_params,
     serving_param_spec,
 )
 
-__all__ = ["make_mesh", "shard_serving_params", "shard_kv_cache", "serving_param_spec"]
+__all__ = [
+    "make_mesh",
+    "shard_serving_params",
+    "shard_kv_cache",
+    "serving_param_spec",
+    "ring_attention",
+    "context_parallel_attention",
+]

@@ -9,6 +9,7 @@ through the scan.
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -283,7 +284,12 @@ def serving_forward_stacked(
                 from fastforward_tpu.kernels.attention import flash_decode_int8
                 from fastforward_tpu.kernels.matmul import _on_tpu
 
-                use_flash = T == 1 and groups >= 2 and _on_tpu()
+                # FF_BENCH_FLASH=0 forces the XLA dequant-attention path for
+                # kernel A/B isolation on the bench.
+                use_flash = (
+                    T == 1 and groups >= 2 and _on_tpu()
+                    and os.environ.get("FF_BENCH_FLASH", "1") == "1"
+                )
                 if use_flash:
                     # Stream the int8 cache through the flash-decode kernel —
                     # no dequantized copy of the cache is ever materialized.

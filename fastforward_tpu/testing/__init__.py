@@ -5,6 +5,7 @@ initialization helpers, PRNG seeding, rounding-boundary checks.
 """
 
 from fastforward_tpu.testing.initialization import initialize_quantizers_to_linear_quantizer
+from fastforward_tpu.testing.package_mock import PackageMock
 from fastforward_tpu.utils.metrics import sqnr
 
 import jax
@@ -18,6 +19,7 @@ __all__ = [
     "is_close_to_rounding",
     "dedent_strip",
     "assert_strings_match_verbose",
+    "PackageMock",
 ]
 
 

@@ -1,9 +1,12 @@
 """Small shared helpers.
 
-Parity: reference `src/fastforward/common.py:13-60` and `_import.py:12-31`.
+Parity: reference `src/fastforward/common.py:13-60`, `_import.py:12-31` and
+`type_common.py:25-75` (MethodType/method_type).
 """
 
+import enum
 import importlib
+import types
 from typing import Any, Callable, Optional
 
 import jax
@@ -40,6 +43,37 @@ def import_by_name(name: str) -> Any:
     """Resolve a qualified name lazily (reference `QualifiedNameReference`)."""
     mod_name, _, attr = name.rpartition(".")
     return getattr(importlib.import_module(mod_name), attr)
+
+
+class MethodType(enum.Enum):
+    """How a name is bound on a class/module (reference `type_common.py:25`)."""
+
+    METHOD = enum.auto()
+    CLASS_METHOD = enum.auto()
+    STATIC_METHOD = enum.auto()
+    NO_METHOD = enum.auto()
+
+
+def method_type(cls_or_module: Any, method_name: str) -> MethodType:
+    """Classify ``method_name`` on a class or module.
+
+    Module-level functions report STATIC_METHOD (no implicit first argument);
+    a missing name or a non-callable attribute reports NO_METHOD.
+    """
+    if not isinstance(cls_or_module, (type, types.ModuleType)):
+        raise ValueError("'cls_or_module' must be a module or class")
+    attr = cls_or_module.__dict__.get(method_name)
+    if isinstance(cls_or_module, type):
+        if isinstance(attr, classmethod):
+            return MethodType.CLASS_METHOD
+        if isinstance(attr, staticmethod):
+            return MethodType.STATIC_METHOD
+        if isinstance(attr, types.FunctionType):
+            return MethodType.METHOD
+        return MethodType.NO_METHOD
+    if isinstance(attr, types.FunctionType):
+        return MethodType.STATIC_METHOD
+    return MethodType.NO_METHOD
 
 
 class classproperty:

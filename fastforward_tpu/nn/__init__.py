@@ -11,6 +11,8 @@ from fastforward_tpu.nn.layers import (
     QuantizedLayerNorm,
     QuantizedLinear,
     QuantizedRMSNorm,
+    QuantizedRelu,
+    QuantizedSilu,
     QuantizedSequential,
 )
 from fastforward_tpu.nn.linear_quantizer import DynamicLinearQuantizer, LinearQuantizer
@@ -54,6 +56,8 @@ __all__ = [
     "QuantizedEmbed",
     "QuantizedLayerNorm",
     "QuantizedRMSNorm",
+    "QuantizedRelu",
+    "QuantizedSilu",
     "QuantizedDropout",
     "QuantizedSequential",
 ]

@@ -166,6 +166,44 @@ class QuantizedSequential(QuantizedModule, nnx.Sequential):
         super().__init_quantization__()
 
 
+class QuantizedRelu(QuantizedModule):
+    """Quantized ReLU activation module (reference `nn/activations.py:21`).
+
+    NNX has no activation modules to convert from, so this is instantiated
+    directly when writing quantization-aware model definitions; it gives
+    the activation its own input/output quantizer slots like the reference
+    `QuantizedRelu(QuantizedModule, torch.nn.ReLU)`.
+    """
+
+    def __init__(self) -> None:
+        self.__init_quantization__()
+
+    def __init_quantization__(self) -> None:
+        super().__init_quantization__()
+        self.input_quantizer = QuantizerStub(input_quantizer=True)
+        self.output_quantizer = QuantizerStub(output_quantizer=True)
+
+    def __call__(self, x):
+        x = self.input_quantizer(x)
+        return ops.relu(x, output_quantizer=self.output_quantizer)
+
+
+class QuantizedSilu(QuantizedModule):
+    """Quantized SiLU activation module (reference `nn/activations.py:40`)."""
+
+    def __init__(self) -> None:
+        self.__init_quantization__()
+
+    def __init_quantization__(self) -> None:
+        super().__init_quantization__()
+        self.input_quantizer = QuantizerStub(input_quantizer=True)
+        self.output_quantizer = QuantizerStub(output_quantizer=True)
+
+    def __call__(self, x):
+        x = self.input_quantizer(x)
+        return ops.silu(x, output_quantizer=self.output_quantizer)
+
+
 class QuantizedDropout(QuantizedModule, nnx.Dropout):
     """Dropout passes quantized data through when inactive; when active it
     dequantizes (dropout of grid values with rescale leaves the grid)."""

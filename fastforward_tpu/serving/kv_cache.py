@@ -70,9 +70,31 @@ class LayerKVCache:
         else:
             starts = positions[:, 0]
 
+        T = k_new.shape[2]
+
         if self.is_quantized:
             kq8, ks = _quantize_kv(k_new)
             vq8, vs = _quantize_kv(v_new)
+
+            if T == 1:
+                # Decode-step append as a masked select — the vmapped
+                # dynamic_update_slice lowers to an XLA scatter that TPU
+                # runs as a serialized per-index loop (measured ~0.5
+                # ms/layer at batch 32 on the stacked engine; the dense
+                # where() is one fused VPU pass and aliases in place).
+                sel = jnp.arange(self.k.shape[2])[None, :] == starts[:, None]
+                sel4 = sel[:, None, :, None]
+                sel3 = sel[:, None, :]
+                return LayerKVCache(
+                    k=jnp.where(sel4, kq8.astype(self.k.dtype), self.k),
+                    v=jnp.where(sel4, vq8.astype(self.v.dtype), self.v),
+                    k_scale=jnp.where(
+                        sel3, ks[..., :1].astype(self.k_scale.dtype), self.k_scale
+                    ),
+                    v_scale=jnp.where(
+                        sel3, vs[..., :1].astype(self.v_scale.dtype), self.v_scale
+                    ),
+                )
 
             def write(cache_b, new_b, idx):
                 return jax.lax.dynamic_update_slice(cache_b, new_b, (0, idx, 0))
@@ -85,6 +107,15 @@ class LayerKVCache:
                 v=jax.vmap(write)(self.v, vq8, starts),
                 k_scale=jax.vmap(write_scale)(self.k_scale, ks.astype(self.k_scale.dtype), starts),
                 v_scale=jax.vmap(write_scale)(self.v_scale, vs.astype(self.v_scale.dtype), starts),
+            )
+
+        if T == 1:
+            sel4 = (
+                jnp.arange(self.k.shape[2])[None, :] == starts[:, None]
+            )[:, None, :, None]
+            return LayerKVCache(
+                k=jnp.where(sel4, k_new.astype(self.k.dtype), self.k),
+                v=jnp.where(sel4, v_new.astype(self.v.dtype), self.v),
             )
 
         def write(cache_b, new_b, idx):

@@ -277,10 +277,28 @@ def serving_forward_stacked(
             if kc.dtype == jnp.int8:
                 kq8, ksc = _quantize_kv(k)
                 vq8, vsc = _quantize_kv(v)
-                kc = jax.vmap(write)(kc, kq8, starts)
-                vc = jax.vmap(write)(vc, vq8, starts)
-                ks = jax.vmap(write_scale)(ks, ksc.astype(ks.dtype), starts)
-                vs = jax.vmap(write_scale)(vs, vsc.astype(vs.dtype), starts)
+                if T == 1 and os.environ.get("FF_KV_WRITE", "mask") == "mask":
+                    # Decode-step append as a masked select over the S axis.
+                    # The vmap-of-dynamic_update_slice formulation lowers to
+                    # an XLA scatter, which TPU executes as a serialized
+                    # per-index loop — measured ~0.5 ms/layer of the batch-32
+                    # step. The dense where() is a single fused VPU pass over
+                    # the cache (~80 us/layer at batch 32, and XLA aliases
+                    # the buffer in-place under scan).
+                    sel = (
+                        jnp.arange(kc.shape[2])[None, :] == starts[:, None]
+                    )  # (B, S)
+                    sel4 = sel[:, None, :, None]
+                    kc = jnp.where(sel4, kq8.astype(kc.dtype), kc)
+                    vc = jnp.where(sel4, vq8.astype(vc.dtype), vc)
+                    sel3 = sel[:, None, :]
+                    ks = jnp.where(sel3, ksc[..., :1].astype(ks.dtype), ks)
+                    vs = jnp.where(sel3, vsc[..., :1].astype(vs.dtype), vs)
+                else:
+                    kc = jax.vmap(write)(kc, kq8, starts)
+                    vc = jax.vmap(write)(vc, vq8, starts)
+                    ks = jax.vmap(write_scale)(ks, ksc.astype(ks.dtype), starts)
+                    vs = jax.vmap(write_scale)(vs, vsc.astype(vs.dtype), starts)
                 from fastforward_tpu.kernels.attention import flash_decode_int8
                 from fastforward_tpu.kernels.matmul import _on_tpu
 

@@ -112,6 +112,7 @@ _LAZY_NAMES = {
     "enable_quantization": ("fastforward_tpu.overrides", "enable_quantization"),
     "sqnr": ("fastforward_tpu.utils.metrics", "sqnr"),
     "autoquantize": ("fastforward_tpu.autoquant", "autoquantize"),
+    "PatternRule": ("fastforward_tpu.autoquant", "PatternRule"),
     "freeze_parameters": ("fastforward_tpu.quantization.freeze", "freeze_parameters"),
     "strict_quantization_for_module": (
         "fastforward_tpu.quantization.strict_quantization",

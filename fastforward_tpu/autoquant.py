@@ -23,15 +23,48 @@ tracing executes the model's Python exactly once per trace in a fixed order.
 """
 
 import contextlib
+import dataclasses
 import importlib
 from contextvars import ContextVar
-from typing import Any, Iterator, Optional
+from typing import Any, Callable, Iterator, Optional, Sequence
 
 from flax import nnx
 
 from fastforward_tpu import ops
 from fastforward_tpu.nn.quantized_module import quantize_model
 from fastforward_tpu.nn.quantizer import Quantizer, QuantizerStub
+
+
+@dataclasses.dataclass(frozen=True)
+class PatternRule:
+    """User-defined call-site rewrite rule.
+
+    Parity: reference `PatternRule` (`_autoquant/cst/pattern.py:341`) lets
+    users supply source patterns + replacements that autoquant codegen
+    applies (e.g. rewrite ``x * sigmoid(x)`` into one quantized ``silu``).
+    In the trace-time design the same extension point is a rule matched at
+    call interception: when ``target`` is called during an autoquant apply
+    context (and ``predicate`` passes), ``replacement`` runs instead of the
+    default quantized op, receiving the original arguments plus the site's
+    ``output_quantizer``.
+
+    target: qualified function to intercept (``"jax.nn.gelu"``) or the bare
+        name of an operator already substituted by autoquant (``"gelu"``).
+    replacement: ``fn(*args, output_quantizer=..., **kwargs)``.
+    predicate: optional ``(args, kwargs) -> bool`` gate; unmatched calls fall
+        through to the default substitution.
+    """
+
+    target: str
+    replacement: Callable[..., Any]
+    predicate: Optional[Callable[..., bool]] = None
+
+    @property
+    def op_name(self) -> str:
+        return self.target.rsplit(".", 1)[-1]
+
+    def matches(self, args: tuple, kwargs: dict) -> bool:
+        return self.predicate is None or bool(self.predicate(args, kwargs))
 
 def _softmax_adapter(args, kwargs):
     # jax.nn.softmax(x, axis=-1) → ops.softmax(x, dim=-1)
@@ -66,6 +99,7 @@ _MODE = ContextVar("autoquant_mode", default=None)  # None | "record" | "apply"
 _SITES = ContextVar("autoquant_sites", default=None)
 _COUNTS = ContextVar("autoquant_counts", default=None)
 _INSIDE = ContextVar("autoquant_inside_op", default=False)
+_RULES: ContextVar[tuple] = ContextVar("autoquant_rules", default=())
 
 
 class _Patched:
@@ -94,18 +128,35 @@ class _Patched:
         quantizer = quantizers.get(site)
         token = _INSIDE.set(True)
         try:
+            for rule in _RULES.get():
+                if rule.op_name == self.op_name and rule.matches(args, kwargs):
+                    return rule.replacement(
+                        *args, output_quantizer=quantizer, **kwargs
+                    )
+            op = getattr(ops, self.op_name, None)
+            if op is None:
+                # Interception installed only for a PatternRule target and no
+                # rule matched — run the original unquantized.
+                return self.original(*args, **kwargs)
             if self.adapter is not None:
                 args, kwargs = self.adapter(args, kwargs)
-            op = getattr(ops, self.op_name)
             return op(*args, output_quantizer=quantizer, **kwargs)
         finally:
             _INSIDE.reset(token)
 
 
 @contextlib.contextmanager
-def _patched_namespace() -> Iterator[None]:
+def _patched_namespace(rules: Sequence["PatternRule"] = ()) -> Iterator[None]:
+    targets = {
+        op_name: (mod_name, attr, adapter)
+        for op_name, (mod_name, attr, adapter) in SUBSTITUTABLE.items()
+    }
+    for rule in rules:
+        if "." in rule.target and rule.op_name not in targets:
+            mod_name, attr = rule.target.rsplit(".", 1)
+            targets[rule.op_name] = (mod_name, attr, None)
     saved = []
-    for op_name, (mod_name, attr, adapter) in SUBSTITUTABLE.items():
+    for op_name, (mod_name, attr, adapter) in targets.items():
         module = importlib.import_module(mod_name)
         original = getattr(module, attr)
         if isinstance(original, _Patched):
@@ -120,7 +171,9 @@ def _patched_namespace() -> Iterator[None]:
 
 
 @contextlib.contextmanager
-def substitution(model: Any, mode: str) -> Iterator[None]:
+def substitution(
+    model: Any, mode: str, rules: Sequence["PatternRule"] = ()
+) -> Iterator[None]:
     """Activate op substitution for ``model``'s autoquant sites."""
     sites: Any
     if mode == "record":
@@ -128,22 +181,27 @@ def substitution(model: Any, mode: str) -> Iterator[None]:
     else:
         holder = getattr(model, "autoquant_quantizers", None)
         sites = dict(holder) if holder is not None else {}
+    if not rules:
+        rules = tuple(getattr(model, "_autoquant_rules", ()))
     mode_token = _MODE.set(mode)
     sites_token = _SITES.set(sites)
     counts_token = _COUNTS.set({})
+    rules_token = _RULES.set(tuple(rules))
     try:
-        with _patched_namespace():
+        with _patched_namespace(rules):
             yield sites
     finally:
         _MODE.reset(mode_token)
         _SITES.reset(sites_token)
         _COUNTS.reset(counts_token)
+        _RULES.reset(rules_token)
 
 
 def autoquantize(
     model: nnx.Module,
     *sample_args: Any,
     convert_modules: bool = True,
+    replacement_patterns: Sequence[PatternRule] = (),
     **sample_kwargs: Any,
 ) -> nnx.Module:
     """Quantize ``model`` including function-level op calls.
@@ -160,9 +218,11 @@ def autoquantize(
     if convert_modules:
         quantize_model(model)
 
+    model._autoquant_rules = tuple(replacement_patterns)
+
     # Discovery trace.
     with flags.strict_quantization(False):
-        with substitution(model, "record") as sites:
+        with substitution(model, "record", rules=replacement_patterns) as sites:
             model(*sample_args, **sample_kwargs)
 
     model.autoquant_quantizers = nnx.data(

@@ -20,6 +20,7 @@ from fastforward_tpu.nn.quantized_module import (
     SKIP_QUANTIZATION,
     QuantizedModule,
     check_quantizable,
+    filter_quantized_module_map,
     named_quantizers,
     quantize_model,
     quantized_module_map,
@@ -43,6 +44,7 @@ __all__ = [
     "DynamicLinearQuantizer",
     "QuantizedModule",
     "quantize_model",
+    "filter_quantized_module_map",
     "quantized_module_map",
     "register_quantized_module",
     "named_quantizers",

@@ -13,6 +13,8 @@ class-reassignment trick carries over directly and preserves parameter
 identity/sharding).
 """
 
+import contextlib
+from contextvars import ContextVar
 from typing import Any, Callable, Iterator, Optional, Type
 
 from flax import nnx
@@ -78,9 +80,34 @@ class QuantizedModule(nnx.Module):
 def quantized_module_map() -> dict[type, type]:
     """The global {module type -> quantized counterpart} map.
 
-    Parity: reference `quantized_module.py:856-883`.
+    Parity: reference `quantized_module.py:856-883`. An active
+    `filter_quantized_module_map` context narrows the returned view.
     """
-    return dict(_QUANTIZED_MODULE_MAP)
+    mapping = dict(_QUANTIZED_MODULE_MAP)
+    for predicate in _MAP_FILTERS.get():
+        mapping = {b: q for b, q in mapping.items() if predicate(b, q)}
+    return mapping
+
+
+_MAP_FILTERS: "ContextVar[tuple]" = ContextVar("quantized_module_map_filters", default=())
+
+
+@contextlib.contextmanager
+def filter_quantized_module_map(
+    predicate: Callable[[type, type], bool],
+) -> Iterator[None]:
+    """Scope `quantized_module_map` (and so `quantize_model`) to entries
+    passing ``predicate(base_type, quantized_type)``.
+
+    Parity: reference `filter_quantized_module_map`
+    (`quantized_module.py:886-906`) — used to exclude counterparts during a
+    conversion without unregistering them globally.
+    """
+    token = _MAP_FILTERS.set(_MAP_FILTERS.get() + (predicate,))
+    try:
+        yield
+    finally:
+        _MAP_FILTERS.reset(token)
 
 
 def register_quantized_module(

@@ -77,24 +77,21 @@ class LayerKVCache:
             vq8, vs = _quantize_kv(v_new)
 
             if T == 1:
-                # Decode-step append as a masked select — the vmapped
+                # Decode-step append: Pallas in-place block write on TPU
+                # (kernels/kv_update.py — touches only the tile holding the
+                # row); masked select elsewhere. The vmapped
                 # dynamic_update_slice lowers to an XLA scatter that TPU
                 # runs as a serialized per-index loop (measured ~0.5
-                # ms/layer at batch 32 on the stacked engine; the dense
-                # where() is one fused VPU pass and aliases in place).
-                sel = jnp.arange(self.k.shape[2])[None, :] == starts[:, None]
-                sel4 = sel[:, None, :, None]
-                sel3 = sel[:, None, :]
-                return LayerKVCache(
-                    k=jnp.where(sel4, kq8.astype(self.k.dtype), self.k),
-                    v=jnp.where(sel4, vq8.astype(self.v.dtype), self.v),
-                    k_scale=jnp.where(
-                        sel3, ks[..., :1].astype(self.k_scale.dtype), self.k_scale
-                    ),
-                    v_scale=jnp.where(
-                        sel3, vs[..., :1].astype(self.v_scale.dtype), self.v_scale
-                    ),
+                # ms/layer at batch 32 on the stacked engine).
+                from fastforward_tpu.kernels.kv_update import (
+                    kv_append_decode_int8,
                 )
+
+                k2, v2, ks2, vs2 = kv_append_decode_int8(
+                    self.k, self.v, self.k_scale, self.v_scale,
+                    kq8, vq8, ks[..., :1], vs[..., :1], starts,
+                )
+                return LayerKVCache(k=k2, v=v2, k_scale=ks2, v_scale=vs2)
 
             def write(cache_b, new_b, idx):
                 return jax.lax.dynamic_update_slice(cache_b, new_b, (0, idx, 0))

@@ -277,7 +277,21 @@ def serving_forward_stacked(
             if kc.dtype == jnp.int8:
                 kq8, ksc = _quantize_kv(k)
                 vq8, vsc = _quantize_kv(v)
-                if T == 1 and os.environ.get("FF_KV_WRITE", "mask") == "mask":
+                kv_write = os.environ.get("FF_KV_WRITE", "kernel")
+                if T == 1 and kv_write == "kernel":
+                    # Pallas in-place append: only the tile-aligned block
+                    # holding the write position moves through VMEM
+                    # (kernels/kv_update.py); the masked-select and scatter
+                    # formulations below re-touch O(S) cache per layer-step.
+                    from fastforward_tpu.kernels.kv_update import (
+                        kv_append_decode_int8,
+                    )
+
+                    kc, vc, ks, vs = kv_append_decode_int8(
+                        kc, vc, ks, vs, kq8, vq8,
+                        ksc[..., :1], vsc[..., :1], starts,
+                    )
+                elif T == 1 and kv_write == "mask":
                     # Decode-step append as a masked select over the S axis.
                     # The vmap-of-dynamic_update_slice formulation lowers to
                     # an XLA scatter, which TPU executes as a serialized

@@ -248,3 +248,20 @@ def test_string_helpers_and_classproperty():
             return cls.__name__
 
     assert C.name == "C" and C().name == "C"
+
+
+def test_filter_quantized_module_map_scopes_conversion():
+    # GIVEN the global map and a filter excluding Linear counterparts
+    import flax.nnx as nnx
+    from fastforward_tpu import nn as ffnn
+
+    full = ffnn.quantized_module_map()
+    assert nnx.Linear in full
+    # WHEN filtering inside the context
+    with ffnn.filter_quantized_module_map(lambda base, q: base is not nnx.Linear):
+        filtered = ffnn.quantized_module_map()
+        # THEN Linear is hidden, other entries remain
+        assert nnx.Linear not in filtered
+        assert len(filtered) == len(full) - 1
+    # AND the map is restored on exit
+    assert nnx.Linear in ffnn.quantized_module_map()

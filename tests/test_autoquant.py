@@ -90,3 +90,77 @@ def test_autoquant_under_jit(sample):
 
         out = fwd(state, sample)
     assert out.shape == (2, 4)
+
+
+class GeluNet(nnx.Module):
+    def __init__(self, *, rngs):
+        self.fc = nnx.Linear(8, 8, rngs=rngs)
+
+    def __call__(self, x):
+        h = jax.nn.gelu(self.fc(x))
+        return jnp.exp(h)
+
+
+def test_pattern_rule_replaces_matched_site(sample):
+    # GIVEN an autoquantized model with a PatternRule on gelu
+    calls = []
+
+    def fast_gelu(x, *, output_quantizer=None, **kwargs):
+        calls.append(output_quantizer)
+        out = x * jax.nn.sigmoid(1.702 * x)
+        return output_quantizer(out) if output_quantizer is not None else out
+
+    model = GeluNet(rngs=nnx.Rngs(0))
+    autoquantize(
+        model, sample,
+        replacement_patterns=[ff.PatternRule("jax.nn.gelu", fast_gelu)],
+    )
+    # WHEN calling the model
+    with ff.flags.strict_quantization(False):
+        model(sample)
+    # THEN the replacement ran and received the site quantizer slot
+    assert len(calls) == 1
+
+
+def test_pattern_rule_predicate_gates_replacement(sample):
+    # GIVEN a rule whose predicate always rejects
+    calls = []
+
+    def never(args, kwargs):
+        return False
+
+    def repl(x, *, output_quantizer=None, **kwargs):
+        calls.append(x)
+        return x
+
+    model = GeluNet(rngs=nnx.Rngs(0))
+    autoquantize(
+        model, sample,
+        replacement_patterns=[ff.PatternRule("jax.nn.gelu", repl, predicate=never)],
+    )
+    # WHEN calling # THEN the default quantized gelu path runs instead
+    with ff.flags.strict_quantization(False):
+        out = model(sample)
+    assert calls == []
+    assert out.shape == sample.shape
+
+
+def test_pattern_rule_targets_new_namespace_entry(sample):
+    # GIVEN a rule for jnp.exp — an op autoquant does not substitute by default
+    seen = []
+
+    def quant_exp(x, *, output_quantizer=None, **kwargs):
+        seen.append(x.shape)
+        return jnp.exp(x)
+
+    model = GeluNet(rngs=nnx.Rngs(0))
+    autoquantize(
+        model, sample,
+        replacement_patterns=[ff.PatternRule("jax.numpy.exp", quant_exp)],
+    )
+    # WHEN calling # THEN the exp call routes through the rule
+    with ff.flags.strict_quantization(False):
+        model(sample)
+    assert seen == [sample.shape]
+    # AND the namespace is restored afterwards
+    assert not hasattr(jnp.exp, "op_name")

@@ -36,8 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 from fastforward_tpu.kernels.packing import (
     pack_int4,
     pack_uint4_offset,
+    pack_uint4_offset_paired,
     unpack_int4,
     unpack_uint4_offset,
+    unpack_uint4_offset_paired,
 )
 
 
@@ -451,7 +453,8 @@ def matmul_w4a8_gemv(
 
 
 def convert_two_level(
-    w_packed: jax.Array, w_scale: jax.Array, group_size: int = 128
+    w_packed: jax.Array, w_scale: jax.Array, group_size: int = 128,
+    paired: Optional[bool] = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Requantize float-per-group W4 onto the two-level grid.
 
@@ -459,12 +462,17 @@ def convert_two_level(
     [1, 15] and ``s_col`` (N,) f32; the effective per-group scale becomes
     ``mult * s_col`` (exactly representable — parity with the simulation
     tier is preserved by using that product as the sim scale). ``packed'``
-    stores *offset-binary* nibbles (`pack_uint4_offset` layout) so the
-    decode kernel skips the offset XOR.
+    stores *offset-binary* nibbles; with ``paired`` (the default when the
+    group count is even) in the adjacent-group pairing
+    (`pack_uint4_offset_paired`) the concat-free decode kernel consumes.
     """
+    import os as _os
+
     n_groups, N = w_scale.shape
     K = w_packed.shape[0] * 2
     g = group_size
+    if paired is None:
+        paired = _os.environ.get("FF_2L_PAIRED", "1") == "1" and n_groups % 2 == 0
     s = w_scale.astype(jnp.float32)
     s_col = jnp.maximum(jnp.max(s, axis=0) / 15.0, 1e-12)  # (N,)
     m = jnp.clip(jnp.round(s / s_col[None, :]), 1, 15)
@@ -472,8 +480,9 @@ def convert_two_level(
     v = unpack_int4(w_packed, g).astype(jnp.float32).reshape(n_groups, g, N)
     w = v * s[:, None, :]
     v2 = jnp.clip(jnp.round(w / s_eff[:, None, :]), -8, 7).astype(jnp.int8)
+    pack = pack_uint4_offset_paired if paired else pack_uint4_offset
     return (
-        pack_uint4_offset(v2.reshape(K, N), group_size=g),
+        pack(v2.reshape(K, N), group_size=g),
         m.astype(jnp.int8),
         s_col,
     )
@@ -482,16 +491,23 @@ def convert_two_level(
 def matmul_w4a8_2l_reference(
     x_q: jax.Array, x_scale: jax.Array, w_packed: jax.Array, mult: jax.Array,
     s_col: jax.Array, bias: Optional[jax.Array] = None, group_size: int = 128,
-    out_dtype=jnp.bfloat16,
+    out_dtype=jnp.bfloat16, paired: Optional[bool] = None,
 ) -> jax.Array:
     """Oracle: integer math end-to-end, then one fp scaling.
 
-    ``w_packed`` is in the offset-binary at-rest layout (`pack_uint4_offset`).
+    ``w_packed`` is in the offset-binary at-rest layout —
+    `pack_uint4_offset_paired` when ``paired`` (the default for even group
+    counts, matching `convert_two_level`), else `pack_uint4_offset`.
     """
+    import os as _os
+
     M, K = x_q.shape
     N = w_packed.shape[1]
     n_groups = K // group_size
-    v = unpack_uint4_offset(w_packed, group_size).reshape(
+    if paired is None:
+        paired = _os.environ.get("FF_2L_PAIRED", "1") == "1" and n_groups % 2 == 0
+    unpack = unpack_uint4_offset_paired if paired else unpack_uint4_offset
+    v = unpack(w_packed, group_size).reshape(
         n_groups, group_size, N
     )
     w8 = (v.astype(jnp.int32) * mult.astype(jnp.int32)[:, None, :]).reshape(K, N)
@@ -567,6 +583,40 @@ def _w4a8_2l_gemv_kernel(
     ).astype(out_ref.dtype)
 
 
+def _w4a8_2l_gemv_kernel_paired(
+    x_ref, xs_ref, wp_ref, m_ref, sc_ref, out_ref, acc_ref,
+    *, n_groups: int, group: int,
+):
+    # Paired-group layout (`pack_uint4_offset_paired`): the lo/hi nibble
+    # planes of a pair block are complete 128-row dot operands for groups
+    # 2p and 2p+1 — same SWAR fold as `_w4a8_2l_gemv_kernel`, but no
+    # jnp.concatenate between fold and dot (the concat's VMEM round-trip
+    # serialized against the MXU; measured ~12% of the GEMV loop).
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for p in range(n_groups // 2):
+        p32 = pltpu.bitcast(
+            wp_ref[p * group:(p + 1) * group, :], jnp.int32
+        )
+        m_lo = m_ref[2 * p, 0, :].reshape(1, -1)
+        m_hi = m_ref[2 * p + 1, 0, :].reshape(1, -1)
+        lo = jnp.bitwise_and(p32, 0x0F0F0F0F) * m_lo
+        hi = jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) * m_hi
+        w_lo = pltpu.bitcast((lo + (_B0x80 - m_lo * 0x08080808)) ^ _B0x80, jnp.int8)
+        w_hi = pltpu.bitcast((hi + (_B0x80 - m_hi * 0x08080808)) ^ _B0x80, jnp.int8)
+        acc_ref[:] += jax.lax.dot(
+            x_ref[:, 2 * p * group:(2 * p + 1) * group], w_lo,
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[:] += jax.lax.dot(
+            x_ref[:, (2 * p + 1) * group:(2 * p + 2) * group], w_hi,
+            preferred_element_type=jnp.int32,
+        )
+    out_ref[:] = (
+        acc_ref[:].astype(jnp.float32) * sc_ref[:] * xs_ref[:]
+    ).astype(out_ref.dtype)
+
+
 def matmul_w4a8_2l_gemv(
     x_q: jax.Array,
     x_scale: jax.Array,
@@ -576,34 +626,50 @@ def matmul_w4a8_2l_gemv(
     group_size: int = 128,
     out_dtype=jnp.bfloat16,
     block_n: int = 512,
+    paired: Optional[bool] = None,
 ) -> jax.Array:
     """Decode-shaped two-level W4A8 matmul: one whole-chunk int8 MXU dot per
-    N panel (vs 2 dots per group in `matmul_w4a8_gemv`)."""
+    N panel (vs 2 dots per group in `matmul_w4a8_gemv`).
+
+    ``paired``: w_packed uses the `pack_uint4_offset_paired` at-rest layout
+    (adjacent-group nibble pairing — concat-free kernel). Defaults to the
+    FF_2L_PAIRED env (on unless FF_2L_PAIRED=0).
+    """
     M, K = x_q.shape
     N = w_packed.shape[1]
     n_groups = K // group_size
     half = group_size // 2
+    import os as _os
+
+    if paired is None:
+        paired = _os.environ.get("FF_2L_PAIRED", "1") == "1" and n_groups % 2 == 0
     if not _on_tpu():
         return matmul_w4a8_2l_reference(
-            x_q, x_scale, w_packed, mult, s_col, None, group_size, out_dtype
+            x_q, x_scale, w_packed, mult, s_col, None, group_size, out_dtype,
+            paired=paired,
         )
     bm = max(8, M)
     if M < 8:
         x_q = jnp.pad(x_q, ((0, 8 - M), (0, 0)))
         x_scale = jnp.pad(x_scale, (0, 8 - M))
-    import os as _os
 
     max_cat = int(_os.environ.get("FF_2L_CONCAT", "1"))
     concat_groups = next(
         c for c in (max_cat, 8, 4, 2, 1) if c <= max_cat and n_groups % c == 0
     )
-    bn = _round_block(block_n, 128, N)
-    out = pl.pallas_call(
-        functools.partial(
+    if paired:
+        kernel = functools.partial(
+            _w4a8_2l_gemv_kernel_paired, n_groups=n_groups, group=group_size
+        )
+    else:
+        kernel = functools.partial(
             _w4a8_2l_gemv_kernel,
             n_groups=n_groups, half=half, concat_groups=concat_groups,
             nofold=_os.environ.get("FF_2L_NOFOLD") == "1",
-        ),
+        )
+    bn = _round_block(block_n, 128, N)
+    out = pl.pallas_call(
+        kernel,
         grid=(pl.cdiv(N, bn),),
         in_specs=[
             pl.BlockSpec((bm, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -646,27 +712,71 @@ def _dequant_int4_kernel(wp_ref, ws_ref, out_ref, *, half: int, offset_binary: b
     out_ref[half:, :] = (high.astype(jnp.bfloat16) - 8.0) * s
 
 
+def _dequant_int4_paired_kernel(wp_ref, ws_ref, out_ref, *, group: int):
+    # Paired layout: one pair block (group packed rows) → two full groups;
+    # each nibble plane gets its own group scale.
+    p32 = pltpu.bitcast(wp_ref[:], jnp.int32)
+    low = pltpu.bitcast(jnp.bitwise_and(p32, 0x0F0F0F0F), jnp.int8)
+    high = pltpu.bitcast(jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F), jnp.int8)
+    s_lo = ws_ref[0].astype(jnp.bfloat16)
+    s_hi = ws_ref[1].astype(jnp.bfloat16)
+    out_ref[0:group, :] = (low.astype(jnp.bfloat16) - 8.0) * s_lo
+    out_ref[group:, :] = (high.astype(jnp.bfloat16) - 8.0) * s_hi
+
+
 def dequantize_int4(
     w_packed: jax.Array, w_scale: jax.Array, group_size: int = 128,
-    block_n: int = 512, offset_binary: bool = False,
+    block_n: int = 512, offset_binary: bool = False, paired: bool = False,
 ) -> jax.Array:
     """Unpack + scale packed-int4 weights to a dense bf16 (K, N) array.
 
     One VMEM pass (≈2.5 VPU ops/elem) — ~20x faster than XLA's elementwise
     unpack chain on this toolchain. The prefill path uses this once per
     weight use and feeds XLA's full-rate bf16 matmul. ``offset_binary``
-    selects the `pack_uint4_offset` at-rest layout (two-level mode).
+    selects the `pack_uint4_offset` at-rest layout (two-level mode);
+    ``paired`` the adjacent-group pairing (`pack_uint4_offset_paired` —
+    implies offset-binary nibbles).
     """
     K2, N = w_packed.shape
     K = K2 * 2
     n_groups = K // group_size
     half = group_size // 2
     if not _on_tpu():
-        unpack = unpack_uint4_offset if offset_binary else unpack_int4
+        if paired:
+            unpack = unpack_uint4_offset_paired
+        else:
+            unpack = unpack_uint4_offset if offset_binary else unpack_int4
         v = unpack(w_packed, group_size).astype(jnp.float32)
         v = v.reshape(n_groups, group_size, N) * w_scale.astype(jnp.float32)[:, None, :]
         return v.reshape(K, N).astype(jnp.bfloat16)
     bn = _round_block(block_n, 128, N)
+    ws = w_scale.astype(jnp.float32).reshape(n_groups, 1, N)
+    if paired:
+        # Paired layout: unpaired output rows come back in (lo-group,
+        # hi-group) order per pair, which IS the original row order.
+        return pl.pallas_call(
+            functools.partial(_dequant_int4_paired_kernel, group=group_size),
+            grid=(n_groups // 2, pl.cdiv(N, bn)),
+            in_specs=[
+                pl.BlockSpec(
+                    (group_size, bn), lambda g, j: (g, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (2, 1, bn), lambda g, j: (g, 0, j), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (2 * group_size, bn), lambda g, j: (g, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((K, N), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=K * N, bytes_accessed=K * N // 2 + K * N * 2,
+                transcendentals=0,
+            ),
+        )(w_packed, ws)
     return pl.pallas_call(
         functools.partial(
             _dequant_int4_kernel, half=half, offset_binary=offset_binary
@@ -684,7 +794,7 @@ def dequantize_int4(
         cost_estimate=pl.CostEstimate(
             flops=K * N, bytes_accessed=K * N // 2 + K * N * 2, transcendentals=0
         ),
-    )(w_packed, w_scale.astype(jnp.float32).reshape(n_groups, 1, N))
+    )(w_packed, ws)
 
 
 # =============================================================================

@@ -53,6 +53,36 @@ def pack_uint4_offset(w: jax.Array, group_size: int = 128) -> jax.Array:
     return packed.reshape(K // 2, N).astype(jnp.int8)
 
 
+def pack_uint4_offset_paired(w: jax.Array, group_size: int = 128) -> jax.Array:
+    """Offset-binary packing pairing *adjacent groups* instead of group halves.
+
+    Byte row ``i`` of pair block ``p`` holds original row ``2p*g + i`` (low
+    nibble, group ``2p``) and row ``(2p+1)*g + i`` (high nibble, group
+    ``2p+1``), ``i ∈ [0, g)``. Each nibble plane of a pair block is then a
+    complete g-row dot operand: the decode kernel folds each plane with its
+    own group scale and feeds the MXU directly — no lo/hi concatenate on the
+    per-token critical path (the concat forced a VMEM round-trip per group).
+    Requires an even number of K-groups.
+    """
+    K, N = w.shape
+    if K % (2 * group_size) != 0:
+        raise ValueError(
+            f"K={K} needs an even number of groups of {group_size} for paired packing"
+        )
+    u = (w.astype(jnp.int32) + 8).reshape(K // (2 * group_size), 2, group_size, N)
+    packed = u[:, 0] | (u[:, 1] << 4)
+    return packed.reshape(K // 2, N).astype(jnp.int8)
+
+
+def unpack_uint4_offset_paired(packed: jax.Array, group_size: int = 128) -> jax.Array:
+    """Inverse of :func:`pack_uint4_offset_paired`: (K//2, N) → (K, N) int8."""
+    K2, N = packed.shape
+    p = packed.astype(jnp.int32).reshape(K2 // group_size, group_size, N)
+    low = (p & 0xF) - 8
+    high = ((p >> 4) & 0xF) - 8
+    return jnp.stack([low, high], axis=1).reshape(2 * K2, N).astype(jnp.int8)
+
+
 def unpack_uint4_offset(packed: jax.Array, group_size: int = 128) -> jax.Array:
     """Inverse of :func:`pack_uint4_offset`: (K//2, N) → (K, N) int8 in [-8, 7]."""
     K2, N = packed.shape

@@ -27,7 +27,7 @@ from fastforward_tpu.mpath.fragments import (
     RegexFragment,
     WildcardFragment,
 )
-from fastforward_tpu.mpath.parser import parse
+from fastforward_tpu.mpath.parser import mpath_query_extension, parse
 from fastforward_tpu.mpath.search import MPathCollection, MPathItem, search
 from fastforward_tpu.mpath.selector import BaseSelector, MultiSelector, Selector
 
@@ -35,6 +35,7 @@ __all__ = [
     "query",
     "search",
     "parse",
+    "mpath_query_extension",
     "Fragment",
     "NameFragment",
     "WildcardFragment",

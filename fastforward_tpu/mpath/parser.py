@@ -74,6 +74,23 @@ def _resolve_class(name: str, context: Optional[dict[str, Any]]) -> type:
     )
 
 
+# --- query extensions ---------------------------------------------------
+# Parity: reference `mpath_query_extension` — user-registered bracket kinds
+# (`[mykind:payload]`) resolving to custom fragments. The factory receives
+# (payload, context) and returns a Fragment.
+_EXTENSIONS: dict[str, Any] = {}
+
+
+def mpath_query_extension(kind: str):
+    """Register a custom ``[kind:payload]`` fragment factory (decorator)."""
+
+    def decorator(factory):
+        _EXTENSIONS[kind] = factory
+        return factory
+
+    return decorator
+
+
 _SEGMENT_SPLIT = re.compile(r"/(?![^\[]*\])")  # "/" outside brackets
 
 
@@ -113,6 +130,8 @@ def _parse_atom(atom: str, context: Optional[dict[str, Any]]) -> Fragment:
             return RegexFragment(payload)
         if kind == "quantizer":
             return QuantizerTagFragment(payload)
+        if kind in _EXTENSIONS:
+            return _EXTENSIONS[kind](payload, context)
         raise ValueError(f"Unknown fragment kind {kind!r} in {atom!r}")
     if not re.fullmatch(r"[\w.\-]+", atom):
         raise ValueError(f"Invalid path segment: {atom!r}")

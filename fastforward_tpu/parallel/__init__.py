@@ -1,5 +1,6 @@
 from fastforward_tpu.parallel.mesh import make_mesh
 from fastforward_tpu.parallel.context import context_parallel_attention, ring_attention
+from fastforward_tpu.parallel.pipeline import pipeline_forward, pipeline_stage_loop
 from fastforward_tpu.parallel.sharding import (
     shard_kv_cache,
     shard_serving_params,
@@ -13,4 +14,6 @@ __all__ = [
     "serving_param_spec",
     "ring_attention",
     "context_parallel_attention",
+    "pipeline_forward",
+    "pipeline_stage_loop",
 ]

@@ -54,6 +54,7 @@ def _shard_ql(ql: QuantLinear, mesh: Mesh, col_parallel: bool) -> QuantLinear:
         scale=jax.device_put(ql.scale, NamedSharding(mesh, scale_spec)),
         mode=ql.mode,
         group_size=ql.group_size,
+        paired=ql.paired,
     )
 
 
@@ -67,7 +68,7 @@ def serving_param_spec(params: ServingParams, mesh: Mesh):
         return QuantLinear(
             data=NamedSharding(mesh, spec["data"]),
             scale=NamedSharding(mesh, scale_spec),
-            mode=ql.mode, group_size=ql.group_size,
+            mode=ql.mode, group_size=ql.group_size, paired=ql.paired,
         )
 
     layers = tuple(

@@ -40,7 +40,28 @@ def _ql_spec(ql: QuantLinear, col_parallel: bool) -> QuantLinear:
         scale = P(None) if ql.scale.ndim == 2 else P(None, "model", None)
         if ql.mult is not None:  # row-parallel: groups shard with K
             mult = P(None, "model", None)
-    return QuantLinear(data, scale, mode=ql.mode, group_size=ql.group_size, mult=mult)
+    return QuantLinear(
+        data, scale, mode=ql.mode, group_size=ql.group_size, mult=mult,
+        paired=ql.paired,
+    )
+
+
+def normalize_stacked_for_tp(stacked: ServingLayer, tp: int) -> ServingLayer:
+    """Repack row-parallel two-level weights whose local K shard would hold an
+    odd group count — the paired nibble layout cannot split mid-pair."""
+    from fastforward_tpu.serving.engine import repack_unpaired
+
+    def fix(ql: QuantLinear) -> QuantLinear:
+        if ql.mode != "w4a8_2l" or not ql.paired:
+            return ql
+        n_groups = ql.mult.shape[-2]
+        if (n_groups // tp) % 2 != 0 or n_groups % tp != 0:
+            return repack_unpaired(ql)
+        return ql
+
+    return dataclasses.replace(
+        stacked, o_proj=fix(stacked.o_proj), down_proj=fix(stacked.down_proj)
+    )
 
 
 def stacked_layer_specs(stacked: ServingLayer) -> ServingLayer:
@@ -65,6 +86,7 @@ def params_specs(params: ServingParams) -> ServingParams:
             P(None, None), P(None) if params.lm_head.scale.ndim == 1 else P(None, None),
             mode=params.lm_head.mode, group_size=params.lm_head.group_size,
             mult=None if params.lm_head.mult is None else P(None, None),
+            paired=params.lm_head.paired,
         )
     return ServingParams(
         embedding=P(None, None), layers=(), final_norm=P(None), lm_head=head,
@@ -90,6 +112,7 @@ def shard_for_tp(params: ServingParams, stacked: ServingLayer,
             tree, specs, is_leaf=lambda x: x is None,
         )
 
+    stacked = normalize_stacked_for_tp(stacked, int(mesh.shape["model"]))
     return (
         put(params, params_specs(params)),
         put(stacked, stacked_layer_specs(stacked)),
@@ -113,7 +136,7 @@ def make_tp_decode_step(config: LlamaConfig, mesh: Mesh, stacked: ServingLayer,
     )
 
     p_specs = params_specs(params)
-    s_specs = stacked_layer_specs(stacked)
+    s_specs = stacked_layer_specs(normalize_stacked_for_tp(stacked, tp))
     c_specs = cache_specs(cache)
 
     def step(params, stacked, cache, tokens, positions):

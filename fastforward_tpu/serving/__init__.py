@@ -1,3 +1,11 @@
 from fastforward_tpu.serving.kv_cache import KVCache, LayerKVCache
+from fastforward_tpu.serving.moe import MoEBlock, expert_parallel_moe, make_moe_block, moe_forward
 
-__all__ = ["KVCache", "LayerKVCache"]
+__all__ = [
+    "KVCache",
+    "LayerKVCache",
+    "MoEBlock",
+    "make_moe_block",
+    "moe_forward",
+    "expert_parallel_moe",
+]

@@ -55,6 +55,11 @@ class QuantLinear:
     # Two-level mode only: per-group integer multipliers (K//G, N) int8 in
     # [1, 15]; the effective group scale is mult * scale[None, :].
     mult: Optional[jax.Array] = None
+    # Two-level at-rest nibble layout: adjacent-group pairing
+    # (`pack_uint4_offset_paired`, the concat-free kernel's format) vs the
+    # group-halves layout. Static and carried WITH the weights — kernels and
+    # oracles must never re-derive it from (possibly sharded) local shapes.
+    paired: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     def __call__(self, x: jax.Array, out_dtype=jnp.bfloat16) -> jax.Array:
         """Apply y = x @ W with the mode's kernel. x: (..., K)."""
@@ -76,13 +81,15 @@ class QuantLinear:
                 out = matmul_w4a8_2l_gemv(
                     x_q, x_s, self.data, self.mult, self.scale,
                     group_size=self.group_size, out_dtype=out_dtype,
+                    paired=self.paired,
                 )
             else:
                 # Prefill: effective per-group scales are exactly
                 # mult * s_col — reuse the one-pass dequant + XLA matmul.
                 s_eff = self.mult.astype(jnp.float32) * self.scale[None, :]
                 w = dequantize_int4(
-                    self.data, s_eff, self.group_size, offset_binary=True
+                    self.data, s_eff, self.group_size, offset_binary=True,
+                    paired=self.paired,
                 )
                 xb = (x_q.astype(jnp.float32) * x_s[:, None]).astype(jnp.bfloat16)
                 out = jax.lax.dot(
@@ -139,8 +146,15 @@ def quantize_linear(
         q = jnp.clip(jnp.round(wg / scale[:, None, :]), -8, 7).astype(jnp.int8)
         packed = pack_int4(q.reshape(K, N), group_size=g)
         if mode == "w4a8_2l":
-            packed, mult, s_col = convert_two_level(packed, scale, g)
-            return QuantLinear(packed, s_col, mode=mode, group_size=g, mult=mult)
+            import os as _os
+
+            paired = (
+                _os.environ.get("FF_2L_PAIRED", "1") == "1" and (K // g) % 2 == 0
+            )
+            packed, mult, s_col = convert_two_level(packed, scale, g, paired=paired)
+            return QuantLinear(
+                packed, s_col, mode=mode, group_size=g, mult=mult, paired=paired
+            )
         return QuantLinear(packed, scale, mode=mode, group_size=g)
     raise ValueError(f"unknown mode {mode}")
 
@@ -395,3 +409,30 @@ def make_decode_loop(config: LlamaConfig, num_steps: int):
         return tokens.T, cache
 
     return jax.jit(loop, donate_argnums=(1,))
+
+
+def repack_unpaired(ql: QuantLinear) -> QuantLinear:
+    """Convert a paired-layout two-level `QuantLinear` to group-halves layout.
+
+    Row-parallel tensor sharding splits the K axis; when a shard would hold
+    an odd number of groups, the adjacent-group pairing cannot survive the
+    split — the weight is repacked once at placement time (pure relabeling,
+    bit-exact).
+    """
+    if not ql.paired:
+        return ql
+    from fastforward_tpu.kernels.packing import (
+        pack_uint4_offset,
+        unpack_uint4_offset_paired,
+    )
+
+    g = ql.group_size
+
+    def conv(d2):
+        return pack_uint4_offset(unpack_uint4_offset_paired(d2, g), g)
+
+    data = jax.vmap(conv)(ql.data) if ql.data.ndim == 3 else conv(ql.data)
+    return QuantLinear(
+        data, ql.scale, mode=ql.mode, group_size=ql.group_size, mult=ql.mult,
+        paired=False,
+    )

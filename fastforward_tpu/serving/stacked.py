@@ -83,6 +83,10 @@ class FusedServingLayer:
     post_norm: jax.Array
 
 
+def _paired_default(n_groups: int) -> bool:
+    return os.environ.get("FF_2L_PAIRED", "1") == "1" and n_groups % 2 == 0
+
+
 def _concat_ql(qls, axis_name="N"):
     from fastforward_tpu.serving.engine import QuantLinear
 
@@ -93,8 +97,10 @@ def _concat_ql(qls, axis_name="N"):
     mult = None
     if first.mult is not None:
         mult = jnp.concatenate([q.mult for q in qls], axis=-1)
+    assert all(q.paired == first.paired for q in qls)
     return QuantLinear(
-        data, scale, mode=first.mode, group_size=first.group_size, mult=mult
+        data, scale, mode=first.mode, group_size=first.group_size, mult=mult,
+        paired=first.paired,
     )
 
 
@@ -148,7 +154,10 @@ def random_stacked_params(config: LlamaConfig, mode: str = "w4a8",
             k1, k2 = jax.random.split(key)
             mult = jax.random.randint(k2, (L, K // g, N), 1, 16, dtype=jnp.int8)
             s_col = jnp.full((L, N), 0.25 / np.sqrt(K) / 8.0, jnp.float32)
-            return QuantLinear(packed, s_col, mode=mode, group_size=g, mult=mult)
+            return QuantLinear(
+                packed, s_col, mode=mode, group_size=g, mult=mult,
+                paired=_paired_default(K // g),
+            )
         scale = jnp.full((L, K // g, N), 0.25 / np.sqrt(K), jnp.float32)
         return QuantLinear(packed, scale, mode=mode, group_size=g)
 
@@ -185,7 +194,10 @@ def random_stacked_params(config: LlamaConfig, mode: str = "w4a8",
             k1, k2 = jax.random.split(key)
             mult = jax.random.randint(k2, (K // g, N), 1, 16, dtype=jnp.int8)
             s_col = jnp.full((N,), 0.25 / np.sqrt(K) / 8.0, jnp.float32)
-            return QuantLinear(packed, s_col, mode=mode, group_size=g, mult=mult)
+            return QuantLinear(
+                packed, s_col, mode=mode, group_size=g, mult=mult,
+                paired=_paired_default(K // g),
+            )
         return QuantLinear(
             packed,
             jnp.full((K // g, N), 0.25 / np.sqrt(K), jnp.float32),

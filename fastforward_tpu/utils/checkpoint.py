@@ -151,3 +151,40 @@ def load_quantization_state(
             if overwrite_policy == "skip":
                 continue
         items[0].update_module(quantizer)
+
+
+# --- whole-pytree checkpoints (orbax) ----------------------------------------
+# The reference delegates model weights to torch/HF checkpointing; the TPU
+# analog (SURVEY §5 checkpoint/resume) is orbax over the params pytree —
+# QuantizedArray / QuantLinear dataclass pytrees round-trip as-is, so frozen
+# low-bit serving weights checkpoint without dequantizing.
+
+
+def save_params(params: Any, path: str) -> None:
+    """Save an arbitrary params pytree (quantized leaves included) via orbax."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params)
+
+
+def load_params(path: str, template: Optional[Any] = None) -> Any:
+    """Restore a pytree saved by :func:`save_params`.
+
+    ``template``: a pytree of like-structured arrays (or ShapeDtypeStructs)
+    restoring dtypes/structure exactly — required to get custom pytree
+    dataclasses (QuantizedArray, QuantLinear) back instead of plain dicts.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if template is None:
+            return ckptr.restore(path)
+        template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x,
+            template,
+        )
+        return ckptr.restore(path, template)

@@ -116,8 +116,8 @@ def test_two_level_conversion_and_oracle():
         convert_two_level,
         matmul_w4a8_2l_gemv,
         matmul_w4a8_2l_reference,
-        unpack_uint4_offset,
     )
+    from fastforward_tpu.kernels.packing import unpack_uint4_offset_paired
 
     rng = np.random.RandomState(5)
     K, N, g = 512, 128, 128
@@ -135,7 +135,8 @@ def test_two_level_conversion_and_oracle():
     # (a) representation error: small vs intrinsic quantization noise
     w_orig = _dequant_w4(w_q, w_scale, g)
     s_eff = np.asarray(mult, np.float32) * np.asarray(s_col)[None, :]
-    w_2l = _dequant_w4(np.asarray(unpack_uint4_offset(p2, g)), s_eff, g)
+    # default at-rest layout for even group counts is the paired packing
+    w_2l = _dequant_w4(np.asarray(unpack_uint4_offset_paired(p2, g)), s_eff, g)
     extra = ((w_2l - w_orig) ** 2).mean()
     quant_noise = ((w_orig - w) ** 2).mean()
     assert extra < 0.6 * quant_noise
@@ -200,3 +201,41 @@ def test_w4a8_bias():
         np.broadcast_to(b[None, :], out.shape),
         atol=5e-3,
     )
+
+
+def test_paired_packing_roundtrip_and_layout_equivalence():
+    # GIVEN random int4 grid values with an even group count
+    from fastforward_tpu.kernels.packing import (
+        pack_uint4_offset_paired,
+        unpack_uint4_offset_paired,
+    )
+    from fastforward_tpu.kernels import (
+        convert_two_level,
+        matmul_w4a8_2l_reference,
+        quantize_rowwise,
+    )
+
+    rng = np.random.RandomState(7)
+    K, N, g = 512, 128, 128
+    v = rng.randint(-8, 8, (K, N)).astype(np.int8)
+    # WHEN packing paired # THEN the roundtrip is exact
+    packed = pack_uint4_offset_paired(jnp.asarray(v), g)
+    assert packed.shape == (K // 2, N)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_uint4_offset_paired(packed, g)), v
+    )
+
+    # AND the paired and unpaired at-rest layouts give the same matmul
+    w_q, w_scale = _quantize_w4_groups(rng.randn(K, N).astype(np.float32), g)
+    base = pack_int4(jnp.asarray(w_q), group_size=g)
+    x = rng.randn(4, K).astype(np.float32)
+    x_q, x_scale = quantize_rowwise(jnp.asarray(x))
+    outs = []
+    for paired in (False, True):
+        p2, mult, s_col = convert_two_level(
+            base, jnp.asarray(w_scale), g, paired=paired
+        )
+        outs.append(np.asarray(matmul_w4a8_2l_reference(
+            x_q, x_scale, p2, mult, s_col, out_dtype=jnp.float32, paired=paired
+        )))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)

@@ -114,3 +114,36 @@ def test_update_module(model):
     new = nnx.Linear(4, 4, rngs=nnx.Rngs(1))
     item.update_module(new)
     assert model.blocks[1].linear is new
+
+
+def test_mpath_query_extension_registers_custom_fragment():
+    # GIVEN a custom [haslinear:] fragment matching modules with a fc attr
+    import flax.nnx as nnx
+    from fastforward_tpu import mpath
+    from fastforward_tpu.mpath.fragments import Fragment
+
+    class HasAttrFragment(Fragment):
+        def __init__(self, attr):
+            self.attr = attr
+
+        def matches(self, segment, module):
+            return hasattr(module, self.attr)
+
+    @mpath.mpath_query_extension("hasattr")
+    def _hasattr_fragment(payload, context):
+        return HasAttrFragment(payload)
+
+    class Inner(nnx.Module):
+        def __init__(self, *, rngs):
+            self.fc = nnx.Linear(2, 2, rngs=rngs)
+
+    class Outer(nnx.Module):
+        def __init__(self, *, rngs):
+            self.a = Inner(rngs=rngs)
+            self.b = nnx.Linear(2, 2, rngs=rngs)
+
+    model = Outer(rngs=nnx.Rngs(0))
+    # WHEN searching with the extension fragment
+    hits = mpath.search("**/[hasattr:fc]", model)
+    # THEN only the module carrying the attribute matches
+    assert [h.full_name for h in hits] == ["a"]

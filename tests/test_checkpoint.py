@@ -126,3 +126,26 @@ def test_granularity_yamlable_regardless_of_import_order(tmp_path):
     restored = serialization.load(text)
     assert restored["g"] == ff.PerTensor()
     assert restored["b"] == ff.PerBlock(0, 64, 1)
+
+
+def test_orbax_roundtrip_quantized_pytree(tmp_path):
+    # GIVEN a pytree with a QuantizedArray leaf (frozen low-bit weights)
+    import jax.numpy as jnp
+
+    from fastforward_tpu.quantization import quantize_per_tensor
+    from fastforward_tpu.utils.checkpoint import load_params, save_params
+
+    qa = quantize_per_tensor(jnp.arange(8.0).reshape(2, 4), scale=0.1, num_bits=8)
+    params = {"layer": {"w": qa, "b": jnp.ones((4,), jnp.float32)}}
+    # WHEN saving and restoring with a template
+    save_params(params, str(tmp_path / "ckpt"))
+    restored = load_params(str(tmp_path / "ckpt"), template=params)
+    # THEN the quantized leaf round-trips with dtype and grid intact
+    assert type(restored["layer"]["w"]) is type(qa)
+    assert restored["layer"]["w"].raw_data.dtype == qa.raw_data.dtype
+    import numpy as np
+
+    np.testing.assert_array_equal(
+        np.asarray(restored["layer"]["w"].dequantize()),
+        np.asarray(qa.dequantize()),
+    )

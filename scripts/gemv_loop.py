@@ -26,7 +26,7 @@ from fastforward_tpu.kernels.packing import pack_uint4_offset
 B = int(os.environ.get("GL_BATCH", "8"))
 STEPS = int(os.environ.get("GL_STEPS", "32"))
 BLOCK_N = int(os.environ.get("GL_BLOCK_N", "512"))
-L = 32
+L = int(os.environ.get("GL_LAYERS", "32"))
 D, QKV_N, INTER = 4096, 6144, 14336
 G = 128
 

@@ -5,6 +5,7 @@ from fastforward_tpu.kernels.matmul import (
     matmul_w4_gemv,
     matmul_w4a8,
     matmul_w4a8_2l_gemv,
+    matmul_w4a8_2l_gemv_stacked,
     matmul_w4a8_2l_reference,
     matmul_w4a8_reference,
     matmul_w4a16,
@@ -35,6 +36,7 @@ __all__ = [
     "quantize_rowwise",
     "convert_two_level",
     "matmul_w4a8_2l_gemv",
+    "matmul_w4a8_2l_gemv_stacked",
     "matmul_w4a8_2l_reference",
     "pack_int4",
     "pack_uint4_offset",

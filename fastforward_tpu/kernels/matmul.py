@@ -693,6 +693,126 @@ def matmul_w4a8_2l_gemv(
     return out[:M]
 
 
+def _w4a8_2l_gemv_stacked_kernel(
+    l_ref, x_ref, xs_ref, wp_ref, m_ref, sc_ref, out_ref, acc_ref,
+    *, n_groups: int, group: int,
+):
+    # Layer-indexed variant of `_w4a8_2l_gemv_kernel_paired`: operand refs
+    # carry a leading singleton layer dim selected by the scalar-prefetch
+    # index maps (l_ref). Same SWAR fold and dot structure. Multipliers
+    # arrive nibble-packed 8-per-i32 (`pack_mult_nibbles`) — two static
+    # shifts + ands per pair on a (1, bn) vector recover them; this keeps
+    # the mult operand 8× smaller so XLA never decides to re-stage the
+    # whole stacked array into scoped memory each layer step.
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for p in range(n_groups // 2):
+        p32 = pltpu.bitcast(wp_ref[0, p * group:(p + 1) * group, :], jnp.int32)
+        word = m_ref[0, (2 * p) // 8, :].reshape(1, -1)
+        m_lo = jnp.bitwise_and(word >> (4 * ((2 * p) % 8)), 0xF)
+        m_hi = jnp.bitwise_and(word >> (4 * ((2 * p) % 8) + 4), 0xF)
+        lo = jnp.bitwise_and(p32, 0x0F0F0F0F) * m_lo
+        hi = jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) * m_hi
+        w_lo = pltpu.bitcast((lo + (_B0x80 - m_lo * 0x08080808)) ^ _B0x80, jnp.int8)
+        w_hi = pltpu.bitcast((hi + (_B0x80 - m_hi * 0x08080808)) ^ _B0x80, jnp.int8)
+        acc_ref[:] += jax.lax.dot(
+            x_ref[:, 2 * p * group:(2 * p + 1) * group], w_lo,
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[:] += jax.lax.dot(
+            x_ref[:, (2 * p + 1) * group:(2 * p + 2) * group], w_hi,
+            preferred_element_type=jnp.int32,
+        )
+    out_ref[:] = (
+        acc_ref[:].astype(jnp.float32) * sc_ref[0] * xs_ref[:]
+    ).astype(out_ref.dtype)
+
+
+def matmul_w4a8_2l_gemv_stacked(
+    x_q: jax.Array,
+    x_scale: jax.Array,
+    w_packed: jax.Array,
+    mult: jax.Array,
+    s_col: jax.Array,
+    layer: jax.Array,
+    group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+    block_n: int = 512,
+) -> jax.Array:
+    """Two-level W4A8 decode GEMV over *stacked* per-layer weights.
+
+    ``w_packed`` (L, K//2, N) in the paired offset-binary layout, ``mult``
+    nibble-packed (L, ceil(n_groups/8), N) int32 (`pack_mult_nibbles`),
+    ``s_col`` (L, N); ``layer`` is a traced scalar int32. The layer index is
+    routed through Pallas scalar prefetch into the BlockSpec index maps, so
+    the DMA engine reads weight panels straight from the stacked array —
+    under `lax.scan` over layers this avoids the per-layer dynamic-slice
+    materialization XLA otherwise inserts before a custom call (measured
+    ~5.2 ms/step of pure copies on the 8B decode loop, vs ~3.9 ms/step for
+    the GEMVs themselves).
+
+    Kernel-level parity with `matmul_w4a8_2l_gemv(paired=True)`; bit-exact
+    vs `matmul_w4a8_2l_reference` on the selected layer.
+    """
+    from fastforward_tpu.kernels.packing import unpack_mult_nibbles
+
+    M, K = x_q.shape
+    L, Kh, N = w_packed.shape
+    n_groups = K // group_size
+    n_pack = mult.shape[1]
+    if not _on_tpu():
+        wl = jax.lax.dynamic_index_in_dim(w_packed, layer, keepdims=False)
+        ml = unpack_mult_nibbles(
+            jax.lax.dynamic_index_in_dim(mult, layer, keepdims=False), n_groups
+        )
+        sl = jax.lax.dynamic_index_in_dim(s_col, layer, keepdims=False)
+        return matmul_w4a8_2l_reference(
+            x_q, x_scale, wl, ml, sl, None, group_size, out_dtype, paired=True,
+        )
+    bm = max(8, M)
+    if M < 8:
+        x_q = jnp.pad(x_q, ((0, 8 - M), (0, 0)))
+        x_scale = jnp.pad(x_scale, (0, 8 - M))
+    bn = _round_block(block_n, 128, N)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(N, bn),),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kh, bn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pack, bn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, l: (0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a8_2l_gemv_stacked_kernel, n_groups=n_groups, group=group_size
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bm, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * N * K,
+            bytes_accessed=K * N // 2 + bm * K + bm * N * 2,
+            transcendentals=0,
+        ),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32),
+      x_q, x_scale.reshape(bm, 1).astype(jnp.float32), w_packed,
+      mult,
+      s_col.astype(jnp.float32).reshape(L, 1, N))
+    return out[:M]
+
+
 # =============================================================================
 # Pallas int4 → bf16 dequantization (prefill path)
 # =============================================================================

@@ -37,6 +37,7 @@ from fastforward_tpu.kernels.matmul import (
     convert_two_level,
     dequantize_int4,
     matmul_w4a8_2l_gemv,
+    matmul_w4a8_2l_gemv_stacked,
     matmul_w4a8_2l_reference,
 )
 from fastforward_tpu.models.llama import LlamaConfig, apply_rope, rope_frequencies
@@ -60,6 +61,10 @@ class QuantLinear:
     # group-halves layout. Static and carried WITH the weights — kernels and
     # oracles must never re-derive it from (possibly sharded) local shapes.
     paired: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Stacked-serving form only (`fuse_stacked_layers`): `mult` nibble-packed
+    # 8 groups per int32 (`pack_mult_nibbles`) for the layer-indexed decode
+    # GEMV. `mult` itself is kept for the prefill dequant path.
+    mult_packed: Optional[jax.Array] = None
 
     def __call__(self, x: jax.Array, out_dtype=jnp.bfloat16) -> jax.Array:
         """Apply y = x @ W with the mode's kernel. x: (..., K)."""
@@ -118,6 +123,43 @@ class QuantLinear:
         else:
             raise ValueError(f"unknown mode {self.mode}")
         return out.reshape(*lead, -1)
+
+    def call_layer(self, x: jax.Array, layer: jax.Array,
+                   out_dtype=jnp.bfloat16) -> jax.Array:
+        """Apply layer ``layer`` of *stacked* (L, ...) weights: y = x @ W[l].
+
+        For the decode-shaped two-level W4A8 path the layer index is passed
+        into the Pallas kernel via scalar prefetch, so no per-layer weight
+        slice is ever materialized (the dominant hidden cost of scanning
+        over stacked weights — see `matmul_w4a8_2l_gemv_stacked`). Other
+        modes (and prefill-shaped inputs) slice the layer out and reuse the
+        standard `__call__`, which matches the previous scan-over-weights
+        behavior.
+        """
+        lead = x.shape[:-1]
+        K = x.shape[-1]
+        x2 = x.reshape(-1, K)
+        if (
+            self.mode == "w4a8_2l"
+            and self.paired
+            and self.mult_packed is not None
+            and x2.shape[0] <= _GEMV_MAX_M
+            and _on_tpu()
+        ):
+            x_q, x_s = quantize_rowwise(x2)
+            out = matmul_w4a8_2l_gemv_stacked(
+                x_q, x_s, self.data, self.mult_packed, self.scale, layer,
+                group_size=self.group_size, out_dtype=out_dtype,
+            )
+            return out.reshape(*lead, -1)
+        idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, keepdims=False)
+        sliced = QuantLinear(
+            idx(self.data), idx(self.scale), mode=self.mode,
+            group_size=self.group_size,
+            mult=None if self.mult is None else idx(self.mult),
+            paired=self.paired,
+        )
+        return sliced(x, out_dtype=out_dtype)
 
 
 def quantize_linear(

@@ -104,13 +104,32 @@ def _concat_ql(qls, axis_name="N"):
     )
 
 
+def _with_packed_mult(ql):
+    """Attach the nibble-packed multiplier form for layer-indexed decode.
+
+    `mult` stays int8 at rest for the prefill dequant path; `mult_packed`
+    (8 groups per int32, `pack_mult_nibbles`) is what the decode GEMV
+    reads — 8× less multiplier traffic per step, and small enough that XLA
+    never re-stages the whole stacked array into scoped memory per layer
+    (the int32-at-rest form cost ~2.3 ms/step of copies on 8B)."""
+    from fastforward_tpu.kernels.packing import pack_mult_nibbles
+
+    if ql.mult is not None and ql.mult_packed is None:
+        return dataclasses.replace(ql, mult_packed=pack_mult_nibbles(ql.mult))
+    return ql
+
+
 def fuse_stacked_layers(stacked) -> FusedServingLayer:
     """Fuse a stacked ServingLayer pytree into a FusedServingLayer."""
     return FusedServingLayer(
-        qkv_proj=_concat_ql([stacked.q_proj, stacked.k_proj, stacked.v_proj]),
-        o_proj=stacked.o_proj,
-        gateup_proj=_concat_ql([stacked.gate_proj, stacked.up_proj]),
-        down_proj=stacked.down_proj,
+        qkv_proj=_with_packed_mult(
+            _concat_ql([stacked.q_proj, stacked.k_proj, stacked.v_proj])
+        ),
+        o_proj=_with_packed_mult(stacked.o_proj),
+        gateup_proj=_with_packed_mult(
+            _concat_ql([stacked.gate_proj, stacked.up_proj])
+        ),
+        down_proj=_with_packed_mult(stacked.down_proj),
         input_norm=stacked.input_norm,
         post_norm=stacked.post_norm,
     )
@@ -270,17 +289,29 @@ def serving_forward_stacked(
     groups = nh // nkv
 
     def layer_body(x, per_layer):
-        layer, kc, vc, ks, vs = per_layer
-        h = _rms_norm(x, layer.input_norm, eps)
+        # Weights stay in the scan *closure* as loop invariants; only the
+        # integer layer index `l` (and the KV-cache slabs) ride the scan xs.
+        # Scanning over the stacked weight arrays themselves makes XLA
+        # materialize a dynamic-slice copy of every weight panel before each
+        # Pallas call (~5.2 ms/step of pure copies on the 8B decode loop);
+        # `QuantLinear.call_layer` routes `l` into the kernels via scalar
+        # prefetch instead, so panels are DMA'd straight from the stack.
+        l, kc, vc, ks, vs = per_layer
+        layer = stacked_layers
+
+        def norm_at(w):
+            return jax.lax.dynamic_index_in_dim(w, l, keepdims=False)
+
+        h = _rms_norm(x, norm_at(layer.input_norm), eps)
         if isinstance(layer, FusedServingLayer):
-            qkv = layer.qkv_proj(h)
+            qkv = layer.qkv_proj.call_layer(h, l)
             q = split_heads(qkv[..., : nh * d], nh)
             k = split_heads(qkv[..., nh * d : (nh + nkv) * d], nkv)
             v = split_heads(qkv[..., (nh + nkv) * d :], nkv)
         else:
-            q = split_heads(layer.q_proj(h), nh)
-            k = split_heads(layer.k_proj(h), nkv)
-            v = split_heads(layer.v_proj(h), nkv)
+            q = split_heads(layer.q_proj.call_layer(h, l), nh)
+            k = split_heads(layer.k_proj.call_layer(h, l), nkv)
+            v = split_heads(layer.v_proj.call_layer(h, l), nkv)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -356,39 +387,45 @@ def serving_forward_stacked(
                 v_all = jnp.repeat(v_all, groups, axis=1)
             attn = _attention(q, k_all, v_all, mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * d)
-        o_out = layer.o_proj(attn)
+        o_out = layer.o_proj.call_layer(attn, l)
         if tp_axis is not None:
             o_out = jax.lax.psum(o_out, tp_axis)
         x = x + o_out
 
-        h = _rms_norm(x, layer.post_norm, eps)
+        h = _rms_norm(x, norm_at(layer.post_norm), eps)
         if isinstance(layer, FusedServingLayer):
-            gateup = layer.gateup_proj(h)
+            gateup = layer.gateup_proj.call_layer(h, l)
             inter = gateup.shape[-1] // 2
             gate, up = gateup[..., :inter], gateup[..., inter:]
             gated = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
-            mlp_out = layer.down_proj(gated * up)
+            mlp_out = layer.down_proj.call_layer(gated * up, l)
         else:
-            gated = jax.nn.silu(layer.gate_proj(h).astype(jnp.float32)).astype(x.dtype)
-            mlp_out = layer.down_proj(gated * layer.up_proj(h))
+            gated = jax.nn.silu(
+                layer.gate_proj.call_layer(h, l).astype(jnp.float32)
+            ).astype(x.dtype)
+            mlp_out = layer.down_proj.call_layer(
+                gated * layer.up_proj.call_layer(h, l), l
+            )
         if tp_axis is not None:
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
         x = x + mlp_out
         return x, (kc, vc, ks, vs)
 
+    num_layers = config.num_layers
+    layer_ids = jnp.arange(num_layers, dtype=jnp.int32)
     if cache is not None:
-        xs = (stacked_layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        xs = (layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale)
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(layer_body, x, xs)
         new_cache = StackedKVCache(
             k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new,
             length=cache.length + T,
         )
     else:
-        def body_nocache(x, layer):
-            x, _ = layer_body(x, (layer, None, None, None, None))
+        def body_nocache(x, l):
+            x, _ = layer_body(x, (l, None, None, None, None))
             return x, ()
 
-        x, _ = jax.lax.scan(body_nocache, x, stacked_layers)
+        x, _ = jax.lax.scan(body_nocache, x, layer_ids)
         new_cache = None
 
     x = _rms_norm(x, params.final_norm, eps)

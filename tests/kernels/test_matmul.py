@@ -239,3 +239,54 @@ def test_paired_packing_roundtrip_and_layout_equivalence():
             x_q, x_scale, p2, mult, s_col, out_dtype=jnp.float32, paired=paired
         )))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
+
+
+def test_mult_nibble_packing_roundtrip():
+    # GIVEN multipliers in [1, 15] with group counts that do and don't
+    # divide 8
+    from fastforward_tpu.kernels.packing import (
+        pack_mult_nibbles,
+        unpack_mult_nibbles,
+    )
+
+    rng = np.random.RandomState(9)
+    for shape in [(112, 64), (3, 32, 16), (2, 12, 8)]:
+        m = jnp.asarray(rng.randint(1, 16, shape), jnp.int8)
+        # WHEN packing 8 groups per int32 # THEN the roundtrip is exact
+        p = pack_mult_nibbles(m)
+        assert p.shape[-2] == -(-shape[-2] // 8) and p.dtype == jnp.int32
+        np.testing.assert_array_equal(
+            np.asarray(unpack_mult_nibbles(p, shape[-2])), np.asarray(m)
+        )
+
+
+def test_stacked_layer_indexed_gemv_matches_reference():
+    # GIVEN a stack of per-layer two-level W4 weights
+    from fastforward_tpu.kernels import (
+        matmul_w4a8_2l_gemv_stacked,
+        matmul_w4a8_2l_reference,
+        quantize_rowwise,
+    )
+    from fastforward_tpu.kernels.packing import pack_mult_nibbles
+
+    rng = np.random.RandomState(11)
+    L, K, N, g = 3, 512, 256, 128
+    wp = jnp.asarray(rng.randint(-128, 128, (L, K // 2, N)), jnp.int8)
+    mult = jnp.asarray(rng.randint(1, 16, (L, K // g, N)), jnp.int8)
+    s_col = jnp.asarray(rng.rand(L, N).astype(np.float32) * 1e-2)
+    x = rng.randn(4, K).astype(np.float32)
+    x_q, x_scale = quantize_rowwise(jnp.asarray(x))
+
+    # WHEN applying each layer through the layer-indexed entry point
+    # THEN it matches the per-layer integer oracle exactly
+    mp = pack_mult_nibbles(mult)
+    for l in range(L):
+        out = matmul_w4a8_2l_gemv_stacked(
+            x_q, x_scale, wp, mp, s_col, jnp.asarray(l, jnp.int32),
+            out_dtype=jnp.float32,
+        )
+        ref = matmul_w4a8_2l_reference(
+            x_q, x_scale, wp[l], mult[l], s_col[l],
+            out_dtype=jnp.float32, paired=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)

@@ -727,6 +727,46 @@ def _w4a8_2l_gemv_stacked_kernel(
     ).astype(out_ref.dtype)
 
 
+def _w4a8_2l_gemv_stacked_kernel_dotraw(
+    l_ref, x_ref, xs_ref, wp_ref, m_ref, sc_ref, out_ref, acc_ref,
+    *, n_groups: int, group: int,
+):
+    # Dot-raw-nibbles variant: instead of SWAR-folding the multiplier into
+    # the int8 weights before the dot (a serial and→mul→add→xor chain of
+    # wide i32 ops per pair on the (group/4, bn) word tile), dot the plain
+    # sign-restored nibbles (and + add + xor per plane: (u+0x78)^0x80 per
+    # byte = u-8 two's-complement, borrow-free since u+0x78 <= 135) and
+    # apply the group multiplier on the tiny (bm, bn) int32 accumulator:
+    # acc += m_g * dot(x_g, u_g - 8). Exactly equal in int32
+    # (v = (u-8)*m_g), drops the two wide SWAR multiplies per pair and
+    # shortens the dependency chain in front of each MXU dot.
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for p in range(n_groups // 2):
+        p32 = pltpu.bitcast(wp_ref[0, p * group:(p + 1) * group, :], jnp.int32)
+        word = m_ref[0, (2 * p) // 8, :].reshape(1, -1)
+        m_lo = jnp.bitwise_and(word >> (4 * ((2 * p) % 8)), 0xF)
+        m_hi = jnp.bitwise_and(word >> (4 * ((2 * p) % 8) + 4), 0xF)
+        v_lo = pltpu.bitcast(
+            (jnp.bitwise_and(p32, 0x0F0F0F0F) + 0x78787878) ^ _B0x80, jnp.int8
+        )
+        v_hi = pltpu.bitcast(
+            (jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) + 0x78787878) ^ _B0x80,
+            jnp.int8,
+        )
+        d_lo = jax.lax.dot(
+            x_ref[:, 2 * p * group:(2 * p + 1) * group], v_lo,
+            preferred_element_type=jnp.int32,
+        )
+        d_hi = jax.lax.dot(
+            x_ref[:, (2 * p + 1) * group:(2 * p + 2) * group], v_hi,
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[:] += m_lo * d_lo + m_hi * d_hi
+    out_ref[:] = (
+        acc_ref[:].astype(jnp.float32) * sc_ref[0] * xs_ref[:]
+    ).astype(out_ref.dtype)
+
+
 def matmul_w4a8_2l_gemv_stacked(
     x_q: jax.Array,
     x_scale: jax.Array,
@@ -753,6 +793,8 @@ def matmul_w4a8_2l_gemv_stacked(
     Kernel-level parity with `matmul_w4a8_2l_gemv(paired=True)`; bit-exact
     vs `matmul_w4a8_2l_reference` on the selected layer.
     """
+    import os as _os
+
     from fastforward_tpu.kernels.packing import unpack_mult_nibbles
 
     M, K = x_q.shape
@@ -794,7 +836,10 @@ def matmul_w4a8_2l_gemv_stacked(
     )
     out = pl.pallas_call(
         functools.partial(
-            _w4a8_2l_gemv_stacked_kernel, n_groups=n_groups, group=group_size
+            _w4a8_2l_gemv_stacked_kernel_dotraw
+            if _os.environ.get("FF_2L_DOTRAW", "0") == "1"
+            else _w4a8_2l_gemv_stacked_kernel,
+            n_groups=n_groups, group=group_size
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bm, N), out_dtype),

@@ -20,10 +20,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fastforward_tpu.kernels.matmul import matmul_w4a8_2l_gemv
-from fastforward_tpu.kernels.packing import pack_uint4_offset
+from fastforward_tpu.kernels.matmul import (
+    matmul_w4a8_2l_gemv,
+    matmul_w4a8_2l_gemv_stacked,
+)
+from fastforward_tpu.kernels.packing import pack_mult_nibbles, pack_uint4_offset
 
 B = int(os.environ.get("GL_BATCH", "8"))
+STACKED = os.environ.get("GL_STACKED", "1") == "1"
 STEPS = int(os.environ.get("GL_STEPS", "32"))
 BLOCK_N = int(os.environ.get("GL_BLOCK_N", "512"))
 L = int(os.environ.get("GL_LAYERS", "32"))
@@ -65,10 +69,36 @@ def step_fn():
         dn = matmul_w4a8_2l_gemv(g_q, g_s, dn_w, dn_m, dn_s, block_n=BLOCK_N)
         return requant(dn), None
 
+    def layer_stacked(carry, l, weights):
+        # Weights live in the closure; only the layer id rides the scan xs —
+        # the scalar-prefetch kernel DMAs panels straight from the stack.
+        x_q, x_s = carry
+        (qkv_w, qkv_m, qkv_s), (o_w, o_m, o_s), (gu_w, gu_m, gu_s), (dn_w, dn_m, dn_s) = weights
+        mm = lambda xq, xs, w, m, s: matmul_w4a8_2l_gemv_stacked(
+            xq, xs, w, m, s, l, block_n=BLOCK_N
+        )
+        qkv = mm(x_q, x_s, qkv_w, qkv_m, qkv_s)
+        a_q, a_s = requant(qkv[:, :D])
+        o = mm(a_q, a_s, o_w, o_m, o_s)
+        h_q, h_s = requant(o)
+        gu = mm(h_q, h_s, gu_w, gu_m, gu_s)
+        g_q, g_s = requant(gu[:, :INTER])
+        dn = mm(g_q, g_s, dn_w, dn_m, dn_s)
+        return requant(dn), None
+
     def loop(weights, x_q, x_s):
-        def one_step(carry, _):
-            carry, _ = jax.lax.scan(layer, carry, weights)
-            return carry, None
+        if STACKED:
+            ids = jnp.arange(L, dtype=jnp.int32)
+
+            def one_step(carry, _):
+                carry, _ = jax.lax.scan(
+                    lambda c, l: layer_stacked(c, l, weights), carry, ids
+                )
+                return carry, None
+        else:
+            def one_step(carry, _):
+                carry, _ = jax.lax.scan(layer, carry, weights)
+                return carry, None
 
         (x_q, x_s), _ = jax.lax.scan(one_step, (x_q, x_s), None, length=STEPS)
         return x_q, x_s
@@ -78,6 +108,10 @@ def step_fn():
 
 def main():
     weights = make_weights()
+    if STACKED:
+        weights = tuple(
+            (wp, pack_mult_nibbles(m), sc) for (wp, m, sc) in weights
+        )
     jax.block_until_ready(weights)
     rng = np.random.RandomState(1)
     x_q = jnp.asarray(rng.randint(-127, 128, (B, D)), jnp.int8)
@@ -95,7 +129,7 @@ def main():
     ms = best / STEPS * 1e3
     gbs = 3.49 / (ms / 1e3)
     print(
-        f"batch={B} block_n={BLOCK_N} concat={os.environ.get('FF_2L_CONCAT', '1')} "
+        f"batch={B} block_n={BLOCK_N} stacked={int(STACKED)} "
         f"nofold={os.environ.get('FF_2L_NOFOLD', '0')}: {ms:.2f} ms/step "
         f"({gbs:.0f} GB/s effective, roofline 819)"
     )

@@ -130,6 +130,8 @@ def _flash_decode_kernel_allheads(
     n_kv: int,
     block_s: int,
     sm_scale: float,
+    len_offset: int = 0,
+    flat_scales: bool = False,
 ):
     """All KV heads of one sequence per grid step: 8x fewer grid iterations
     and MB-scale DMAs vs the per-(b,h) variant — the per-iteration DMA setup
@@ -144,7 +146,7 @@ def _flash_decode_kernel_allheads(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    length = len_ref[b]
+    length = len_ref[len_offset + b]
     start = s_idx * block_s
 
     @pl.when(start < length)
@@ -156,7 +158,8 @@ def _flash_decode_kernel_allheads(
                 q, kf, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            scores = scores * ks_ref[h, 0][None, :] * sm_scale
+            k_sc = ks_ref[h] if flat_scales else ks_ref[h, 0]
+            scores = scores * k_sc[None, :] * sm_scale
             positions = start + jax.lax.broadcasted_iota(
                 jnp.int32, scores.shape, 1
             )
@@ -171,7 +174,8 @@ def _flash_decode_kernel_allheads(
             l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
             m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
 
-            pv = p * vs_ref[h, 0][None, :]
+            v_sc = vs_ref[h] if flat_scales else vs_ref[h, 0]
+            pv = p * v_sc[None, :]
             vf = v_ref[h].astype(jnp.bfloat16)
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot(
                 pv.astype(jnp.bfloat16), vf, preferred_element_type=jnp.float32
@@ -182,6 +186,105 @@ def _flash_decode_kernel_allheads(
         for h in range(n_kv):
             denom = jnp.maximum(l_ref[h, :, 0][:, None], 1e-20)
             out_ref[h] = (acc_ref[h] / denom).astype(out_ref.dtype)
+
+
+def flash_decode_int8_stacked(
+    q: jax.Array,          # (B, H, d)
+    k: jax.Array,          # (L, B, Hkv, S, d) int8 — full stacked cache
+    k_scale: jax.Array,    # (L, B, Hkv, S) f32
+    v: jax.Array,
+    v_scale: jax.Array,
+    lengths: jax.Array,    # (B,) int32
+    layer: jax.Array,      # scalar int32
+    scale: Optional[float] = None,
+    block_s: int = 512,
+) -> jax.Array:
+    """Flash decode reading K/V of layer ``layer`` straight from the stacked
+    cache via scalar-prefetch index maps.
+
+    Companion to `kv_append_decode_int8_stacked`: with the cache living in a
+    layer-scan carry, neither the append nor the read ever materializes a
+    per-layer slab (the xs/ys slab flow cost ~1.7 ms/step of copies on the
+    8B batch-8 loop — profiler-traced). All-heads grid, same math as
+    `_flash_decode_kernel_allheads`.
+    """
+    B, H, d = q.shape
+    L, _, Hkv, S, _ = k.shape
+    groups = H // Hkv
+    sm_scale = float(scale if scale is not None else 1.0 / np.sqrt(d))
+
+    from fastforward_tpu.kernels.matmul import _on_tpu
+
+    block_s = min(block_s, S)
+    if S % block_s != 0:
+        for candidate in (512, 256, 128):
+            if candidate <= S and S % candidate == 0:
+                block_s = candidate
+                break
+        else:
+            block_s = 0
+    if not _on_tpu() or groups < 2 or block_s == 0 or d % 128 != 0:
+        kl = jax.lax.dynamic_index_in_dim(k, layer, keepdims=False)
+        ksl = jax.lax.dynamic_index_in_dim(k_scale, layer, keepdims=False)
+        vl = jax.lax.dynamic_index_in_dim(v, layer, keepdims=False)
+        vsl = jax.lax.dynamic_index_in_dim(v_scale, layer, keepdims=False)
+        return flash_decode_int8_reference(q, kl, ksl, vl, vsl, lengths, scale)
+
+    n_s = pl.cdiv(S, block_s)
+    q4 = q.reshape(B, Hkv, groups, d)
+    scalars = jnp.concatenate(
+        [jnp.reshape(layer, (1,)).astype(jnp.int32), lengths.astype(jnp.int32)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_s),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, groups, d), lambda b, s, Ln: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv, block_s, d),
+                         lambda b, s, Ln: (Ln[0], b, 0, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv, block_s),
+                         lambda b, s, Ln: (Ln[0], b, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv, block_s, d),
+                         lambda b, s, Ln: (Ln[0], b, 0, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv, block_s),
+                         lambda b, s, Ln: (Ln[0], b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hkv, groups, d), lambda b, s, Ln: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, groups, 128), jnp.float32),
+            pltpu.VMEM((Hkv, groups, 128), jnp.float32),
+            pltpu.VMEM((Hkv, groups, d), jnp.float32),
+        ],
+    )
+
+    def kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, m, l, acc):
+        _flash_decode_kernel_allheads(
+            len_ref,
+            q_ref.at[0], k_ref.at[0, 0], ks_ref.at[0, 0],
+            v_ref.at[0, 0], vs_ref.at[0, 0], out_ref.at[0],
+            m, l, acc, n_kv=Hkv, block_s=block_s, sm_scale=sm_scale,
+            len_offset=1, flat_scales=True,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, groups, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(scalars, q4, k, k_scale.astype(jnp.float32), v,
+      v_scale.astype(jnp.float32))
+    return out.reshape(B, H, d)
 
 
 def flash_decode_int8(

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fastforward_tpu.kernels.matmul import _on_tpu as _serving_on_tpu
 from fastforward_tpu.models.llama import LlamaConfig, apply_rope, rope_frequencies
 from fastforward_tpu.serving.engine import ServingParams, _attention, _rms_norm
 from fastforward_tpu.serving.kv_cache import NEG_INF, _quantize_kv
@@ -288,15 +289,37 @@ def serving_forward_stacked(
 
     groups = nh // nkv
 
-    def layer_body(x, per_layer):
+    kv_write = os.environ.get("FF_KV_WRITE", "kernel")
+    # Stacked-KV decode: the full (L, ...) cache rides the layer-scan CARRY
+    # and both the append and the flash read are layer-indexed via scalar
+    # prefetch — no per-layer slab slice/update-slice and no per-step
+    # whole-cache reassembly (the xs/ys slab flow cost ~0.9 ms/step of slab
+    # copies + ~0.8 ms/step of full-cache copies on the profiler trace of
+    # the 8B batch-8 loop). `FF_KV_STACKED=0` re-selects the slab flow;
+    # `FF_KV_STACKED=force` takes this path off-TPU too (reference-oracle
+    # fallbacks inside the kernels keep it exact for CPU tests).
+    _kv_stacked_env = os.environ.get("FF_KV_STACKED", "1")
+    stacked_kv = (
+        cache is not None
+        and cache.is_quantized
+        and T == 1
+        and kv_write == "kernel"
+        and os.environ.get("FF_BENCH_FLASH", "1") == "1"
+        and (
+            _kv_stacked_env == "force"
+            or (_kv_stacked_env == "1" and _serving_on_tpu())
+        )
+    )
+
+    def layer_body(x, l, kc, vc, ks, vs):
         # Weights stay in the scan *closure* as loop invariants; only the
-        # integer layer index `l` (and the KV-cache slabs) ride the scan xs.
-        # Scanning over the stacked weight arrays themselves makes XLA
-        # materialize a dynamic-slice copy of every weight panel before each
-        # Pallas call (~5.2 ms/step of pure copies on the 8B decode loop);
-        # `QuantLinear.call_layer` routes `l` into the kernels via scalar
-        # prefetch instead, so panels are DMA'd straight from the stack.
-        l, kc, vc, ks, vs = per_layer
+        # integer layer index `l` (and, in the slab KV flow, the KV-cache
+        # slabs) ride the scan xs. Scanning over the stacked weight arrays
+        # themselves makes XLA materialize a dynamic-slice copy of every
+        # weight panel before each Pallas call (~5.2 ms/step of pure copies
+        # on the 8B decode loop); `QuantLinear.call_layer` routes `l` into
+        # the kernels via scalar prefetch instead, so panels are DMA'd
+        # straight from the stack.
         layer = stacked_layers
 
         def norm_at(w):
@@ -317,10 +340,28 @@ def serving_forward_stacked(
 
         use_flash = False
         if kc is not None:
-            if kc.dtype == jnp.int8:
+            if stacked_kv:
+                from fastforward_tpu.kernels.attention import (
+                    flash_decode_int8_stacked,
+                )
+                from fastforward_tpu.kernels.kv_update import (
+                    kv_append_decode_int8_stacked,
+                )
+
                 kq8, ksc = _quantize_kv(k)
                 vq8, vsc = _quantize_kv(v)
-                kv_write = os.environ.get("FF_KV_WRITE", "kernel")
+                kc, vc, ks, vs = kv_append_decode_int8_stacked(
+                    kc, vc, ks, vs, kq8, vq8,
+                    ksc[..., :1], vsc[..., :1], starts, l,
+                )
+                attn = flash_decode_int8_stacked(
+                    q[:, :, 0, :], kc, ks, vc, vs,
+                    lengths=starts + 1, layer=l,
+                )[:, :, None, :]
+                use_flash = True
+            elif kc.dtype == jnp.int8:
+                kq8, ksc = _quantize_kv(k)
+                vq8, vsc = _quantize_kv(v)
                 if T == 1 and kv_write == "kernel":
                     # Pallas in-place append: only the tile-aligned block
                     # holding the write position moves through VMEM
@@ -409,20 +450,38 @@ def serving_forward_stacked(
         if tp_axis is not None:
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
         x = x + mlp_out
-        return x, (kc, vc, ks, vs)
+        return x, kc, vc, ks, vs
 
     num_layers = config.num_layers
     layer_ids = jnp.arange(num_layers, dtype=jnp.int32)
-    if cache is not None:
+    if cache is not None and stacked_kv:
+        def body_stacked(carry, l):
+            x, kc, vc, ks, vs = carry
+            return layer_body(x, l, kc, vc, ks, vs), ()
+
+        (x, kc, vc, ks, vs), _ = jax.lax.scan(
+            body_stacked,
+            (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
+            layer_ids,
+        )
+        new_cache = StackedKVCache(
+            k=kc, v=vc, k_scale=ks, v_scale=vs, length=cache.length + T,
+        )
+    elif cache is not None:
+        def body_slab(x, per_layer):
+            l, kc, vc, ks, vs = per_layer
+            x, kc, vc, ks, vs = layer_body(x, l, kc, vc, ks, vs)
+            return x, (kc, vc, ks, vs)
+
         xs = (layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale)
-        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(layer_body, x, xs)
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(body_slab, x, xs)
         new_cache = StackedKVCache(
             k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new,
             length=cache.length + T,
         )
     else:
         def body_nocache(x, l):
-            x, _ = layer_body(x, (l, None, None, None, None))
+            x, *_ = layer_body(x, l, None, None, None, None)
             return x, ()
 
         x, _ = jax.lax.scan(body_nocache, x, layer_ids)

@@ -75,3 +75,37 @@ def test_hostile_shapes_fall_back():
     ref = kv_append_decode_reference(*args)
     for a, b in zip(out, ref):
         assert bool(jnp.all(a == b))
+
+
+def test_stacked_kernel_interpret_matches_reference():
+    # GIVEN a stacked (L, ...) cache, random offsets, and a layer index
+    from fastforward_tpu.kernels.kv_update import (
+        kv_append_decode_int8_stacked,
+        kv_append_decode_stacked_reference,
+    )
+
+    L = 3
+    key = jax.random.PRNGKey(2)
+    ks_ = jax.random.split(key, 10)
+    B, Hkv, S, D = 4, 8, 256, 128
+    kc = jax.random.randint(ks_[0], (L, B, Hkv, S, D), -128, 128, dtype=jnp.int8)
+    vc = jax.random.randint(ks_[1], (L, B, Hkv, S, D), -128, 128, dtype=jnp.int8)
+    ks = jax.random.uniform(ks_[2], (L, B, Hkv, S))
+    vs = jax.random.uniform(ks_[3], (L, B, Hkv, S))
+    kn = jax.random.randint(ks_[4], (B, Hkv, 1, D), -128, 128, dtype=jnp.int8)
+    vn = jax.random.randint(ks_[5], (B, Hkv, 1, D), -128, 128, dtype=jnp.int8)
+    ksn = jax.random.uniform(ks_[6], (B, Hkv, 1))
+    vsn = jax.random.uniform(ks_[7], (B, Hkv, 1))
+    starts = jax.random.randint(ks_[8], (B,), 0, S, dtype=jnp.int32)
+    for layer in (0, L - 1):
+        l = jnp.asarray(layer, jnp.int32)
+        # WHEN appending via the layer-indexed kernel (interpret mode)
+        out = kv_append_decode_int8_stacked(
+            kc, vc, ks, vs, kn, vn, ksn, vsn, starts, l, interpret=True
+        )
+        # THEN it matches the stacked oracle exactly (other layers untouched)
+        ref = kv_append_decode_stacked_reference(
+            kc, vc, ks, vs, kn, vn, ksn, vsn, starts, l
+        )
+        for a, b in zip(out, ref):
+            assert bool(jnp.all(a == b.astype(a.dtype)))

@@ -71,3 +71,45 @@ def test_stacked_decode_loop(setup):
     tokens, cache = loop(params, stacked, cache, tok)
     assert tokens.shape == (2, 6)
     assert int(cache.length) == 4 + 6
+
+
+def test_stacked_kv_carry_path_matches_slab_path(setup, monkeypatch):
+    # GIVEN a decode step (T=1) on a quantized cache
+    config, params, stacked = setup
+    cache = StackedKVCache.create(
+        num_layers=config.num_layers, batch_size=2, max_len=16,
+        num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
+        quantized=True,
+    )
+    ids = jnp.asarray(np.random.RandomState(3).randint(0, 256, (2, 4)))
+    _, cache = serving_forward_stacked(params, stacked, config, ids, cache=cache)
+    tok = jnp.asarray([[7], [9]])
+    # WHEN running the decode step through the slab flow and the stacked-KV
+    # carry flow (forced on CPU; kernels use their reference oracles)
+    monkeypatch.setenv("FF_KV_STACKED", "0")
+    ref_logits, ref_cache = serving_forward_stacked(
+        params, stacked, config, tok, cache=cache
+    )
+    monkeypatch.setenv("FF_KV_STACKED", "force")
+    out_logits, out_cache = serving_forward_stacked(
+        params, stacked, config, tok, cache=cache
+    )
+    # THEN logits agree to activation-noise tolerance; layer-0 cache content
+    # is identical (identical inputs), later layers may differ by one int8
+    # step (the two attention formulations round bf16 differently and the
+    # difference propagates into the next layer's K/V quantization)
+    np.testing.assert_allclose(
+        np.asarray(out_logits), np.asarray(ref_logits), atol=0.25
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_cache.k[0]), np.asarray(ref_cache.k[0])
+    )
+    for a, sa, b, sb in (
+        (out_cache.k, out_cache.k_scale, ref_cache.k, ref_cache.k_scale),
+        (out_cache.v, out_cache.v_scale, ref_cache.v, ref_cache.v_scale),
+    ):
+        deq_a = np.asarray(a, np.float32) * np.asarray(sa)[..., None]
+        deq_b = np.asarray(b, np.float32) * np.asarray(sb)[..., None]
+        scale = max(np.abs(deq_b).max(), 1e-6)
+        np.testing.assert_allclose(deq_a, deq_b, atol=0.05 * scale)
+    assert int(out_cache.length) == int(ref_cache.length)

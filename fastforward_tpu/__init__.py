@@ -97,6 +97,22 @@ _LAZY_SUBMODULES = {
     "overrides", "autoquant", "native",
 }
 
+# Submodule aliases matching the reference namespace layout
+# (`fastforward.affine`, `fastforward.granularity`, `fastforward.random`,
+# `fastforward.logging_utils`, `fastforward.dataclasses`,
+# `fastforward.type_common` — reference `src/fastforward/__init__.py`).
+_SUBMODULE_ALIASES = {
+    "affine": "fastforward_tpu.quantization.affine_function",
+    "granularity": "fastforward_tpu.quantization.granularity",
+    "random": "fastforward_tpu.quantization.random",
+    "logging_utils": "fastforward_tpu.utils.logging_utils",
+    "dataclasses": "fastforward_tpu.utils.dataclasses",
+    "type_common": "fastforward_tpu.utils.common",
+}
+
+version = "0.1.0"
+__version__ = version
+
 # Top-level convenience names resolved lazily from heavier subsystems
 # (parity with the reference `fastforward` namespace: ff.quantize_model,
 # ff.estimate_ranges, ff.find_quantizers, ...).
@@ -123,6 +139,10 @@ _LAZY_NAMES = {
         "annotate_operator_metadata",
     ),
     "random_quantized": ("fastforward_tpu.quantization.random", "random_quantized"),
+    "QuantizedTensor": ("fastforward_tpu.quantization.quantized_array", "QuantizedArray"),
+    "quantized_module_map": ("fastforward_tpu.nn", "quantized_module_map"),
+    "surrogate_quantized_modules": ("fastforward_tpu.nn", "surrogate_quantized_modules"),
+    "sdpa_upcast": ("fastforward_tpu.ops.sdpa", "sdpa_upcast"),
     "layerwise_optimize": ("fastforward_tpu.algorithms", "layerwise_optimize"),
     "gptq": ("fastforward_tpu.algorithms", "gptq"),
 }
@@ -133,6 +153,8 @@ def __getattr__(name):
 
     if name in _LAZY_SUBMODULES:
         return importlib.import_module(f"fastforward_tpu.{name}")
+    if name in _SUBMODULE_ALIASES:
+        return importlib.import_module(_SUBMODULE_ALIASES[name])
     if name in _LAZY_NAMES:
         module_name, attr = _LAZY_NAMES[name]
         return getattr(importlib.import_module(module_name), attr)

@@ -197,10 +197,17 @@ def flash_decode_int8_stacked(
     lengths: jax.Array,    # (B,) int32
     layer: jax.Array,      # scalar int32
     scale: Optional[float] = None,
-    block_s: int = 512,
+    block_s: Optional[int] = None,
 ) -> jax.Array:
     """Flash decode reading K/V of layer ``layer`` straight from the stacked
     cache via scalar-prefetch index maps.
+
+    K/V block index maps are *clamped to the last valid block* for the
+    sequence (``min(s, (length-1)//block_s)``): Pallas skips the copy when a
+    block index repeats between grid steps, so HBM traffic is
+    O(length), not O(S) — at the bench's length≈160 in a S=512 cache the
+    whole-S block read 3× more KV than exists. Out-of-range steps are also
+    compute-skipped (`start < length`).
 
     Companion to `kv_append_decode_int8_stacked`: with the cache living in a
     layer-scan carry, neither the append nor the read ever materializes a
@@ -212,6 +219,9 @@ def flash_decode_int8_stacked(
     L, _, Hkv, S, _ = k.shape
     groups = H // Hkv
     sm_scale = float(scale if scale is not None else 1.0 / np.sqrt(d))
+    clamp = os.environ.get("FF_FLASH_CLAMP", "0") == "1"
+    if block_s is None:
+        block_s = 256 if clamp else 512
 
     from fastforward_tpu.kernels.matmul import _on_tpu
 
@@ -236,24 +246,39 @@ def flash_decode_int8_stacked(
         [jnp.reshape(layer, (1,)).astype(jnp.int32), lengths.astype(jnp.int32)]
     )
 
+    if clamp:
+        def s_at(b, s, Ln):
+            return jnp.minimum(s, (Ln[1 + b] - 1) // block_s)
+    else:
+        def s_at(b, s, Ln):
+            return s
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_s),
         in_specs=[
             pl.BlockSpec((1, Hkv, groups, d), lambda b, s, Ln: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hkv, block_s, d),
-                         lambda b, s, Ln: (Ln[0], b, 0, s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hkv, block_s),
-                         lambda b, s, Ln: (Ln[0], b, 0, s),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hkv, block_s, d),
-                         lambda b, s, Ln: (Ln[0], b, 0, s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hkv, block_s),
-                         lambda b, s, Ln: (Ln[0], b, 0, s),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, Hkv, block_s, d),
+                lambda b, s, Ln: (Ln[0], b, 0, s_at(b, s, Ln), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, Hkv, block_s),
+                lambda b, s, Ln: (Ln[0], b, 0, s_at(b, s, Ln)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, Hkv, block_s, d),
+                lambda b, s, Ln: (Ln[0], b, 0, s_at(b, s, Ln), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, Hkv, block_s),
+                lambda b, s, Ln: (Ln[0], b, 0, s_at(b, s, Ln)),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, Hkv, groups, d), lambda b, s, Ln: (b, 0, 0, 0),

@@ -24,6 +24,7 @@ from fastforward_tpu.nn.quantized_module import (
     named_quantizers,
     quantize_model,
     quantized_module_map,
+    surrogate_quantized_modules,
     register_quantized_module,
     summarize_quantizers,
     surrogate_quantized_module,
@@ -46,6 +47,7 @@ __all__ = [
     "quantize_model",
     "filter_quantized_module_map",
     "quantized_module_map",
+    "surrogate_quantized_modules",
     "register_quantized_module",
     "named_quantizers",
     "summarize_quantizers",

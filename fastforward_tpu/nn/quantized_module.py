@@ -149,6 +149,36 @@ def surrogate_quantized_module(base: type) -> type:
     return surrogate
 
 
+def surrogate_quantized_modules(
+    model: nnx.Module,
+    *,
+    extra_conversion: Optional[dict[type, type]] = None,
+    ignore_global_module_map: bool = False,
+) -> dict[type, type]:
+    """Conversion dict of pass-through surrogates for every submodule type of
+    ``model`` without a quantized counterpart.
+
+    Parity: reference `surrogate_quantized_modules`
+    (`nn/quantized_module.py:711-777`) — the result can be passed as
+    ``extra_conversion`` to `quantize_model` so conversion always succeeds;
+    surrogates add no quantizers and leave the forward untouched.
+    """
+    known: dict[type, type] = {} if ignore_global_module_map else dict(
+        quantized_module_map()
+    )
+    if extra_conversion:
+        known.update(extra_conversion)
+    out: dict[type, type] = {}
+    for _, module in _iter_submodules(model):
+        t = type(module)
+        if isinstance(module, (QuantizedModule, Quantizer)):
+            continue
+        if t in known or t in out:
+            continue
+        out[t] = surrogate_quantized_module(t)
+    return out
+
+
 def _iter_submodules(module: nnx.Module) -> Iterator[tuple[tuple, nnx.Module]]:
     yield from nnx.iter_modules(module)
 

@@ -188,6 +188,73 @@ def _flash_decode_kernel_allheads(
             out_ref[h] = (acc_ref[h] / denom).astype(out_ref.dtype)
 
 
+def _flash_decode_kernel_allheads_batched(
+    len_ref,   # scalar prefetch: [layer, lengths...] (1+B,)
+    q_ref,     # (Hkv, G, d)
+    k_ref,     # (Hkv, BS, d) int8
+    ks_ref,    # (Hkv, BS) f32
+    v_ref,     # (Hkv, BS, d) int8
+    vs_ref,    # (Hkv, BS) f32
+    out_ref,   # (Hkv, G, d)
+    m_ref,     # scratch (Hkv, G, 128) f32
+    l_ref,     # scratch (Hkv, G, 128) f32
+    acc_ref,   # scratch (Hkv, G, d) f32
+    *,
+    block_s: int,
+    sm_scale: float,
+    len_offset: int = 0,
+):
+    """Head-batched variant of `_flash_decode_kernel_allheads`: the per-head
+    Python loop issued 16 M=4 dots and ran every VPU op on half-empty (G, BS)
+    tiles, 8x serially. Batched `dot_general` (batch dim = Hkv) turns that
+    into 2 dot instructions and full-height (Hkv, G, BS) vector ops."""
+    b = pl.program_id(0)
+    s_idx = pl.program_id(1)
+    n_s = pl.num_programs(1)
+
+    @pl.when(s_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[len_offset + b]
+    start = s_idx * block_s
+
+    @pl.when(start < length)
+    def _process():
+        kf = k_ref[...].astype(jnp.bfloat16)          # (H, BS, d)
+        q = q_ref[...].astype(jnp.bfloat16)           # (H, G, d)
+        scores = jax.lax.dot_general(                 # (H, G, BS)
+            q, kf, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores * ks_ref[...][:, None, :] * sm_scale
+        positions = start + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        scores = jnp.where(positions < length, scores, NEG_INF)
+
+        m_prev = m_ref[:, :, 0][..., None]            # (H, G, 1)
+        m_cur = jnp.max(scores, axis=2, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)                   # (H, G, BS)
+
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+        pv = (p * vs_ref[...][:, None, :]).astype(jnp.bfloat16)
+        vf = v_ref[...].astype(jnp.bfloat16)          # (H, BS, d)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            pv, vf, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(s_idx == n_s - 1)
+    def _finalize():
+        denom = jnp.maximum(l_ref[:, :, 0][..., None], 1e-20)
+        out_ref[...] = (acc_ref[...] / denom).astype(out_ref.dtype)
+
+
 def flash_decode_int8_stacked(
     q: jax.Array,          # (B, H, d)
     k: jax.Array,          # (L, B, Hkv, S, d) int8 — full stacked cache
@@ -291,14 +358,24 @@ def flash_decode_int8_stacked(
         ],
     )
 
+    batched = os.environ.get("FF_FLASH_BATCHED", "1") == "1"
+
     def kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, m, l, acc):
-        _flash_decode_kernel_allheads(
-            len_ref,
-            q_ref.at[0], k_ref.at[0, 0], ks_ref.at[0, 0],
-            v_ref.at[0, 0], vs_ref.at[0, 0], out_ref.at[0],
-            m, l, acc, n_kv=Hkv, block_s=block_s, sm_scale=sm_scale,
-            len_offset=1, flat_scales=True,
-        )
+        if batched:
+            _flash_decode_kernel_allheads_batched(
+                len_ref,
+                q_ref.at[0], k_ref.at[0, 0], ks_ref.at[0, 0],
+                v_ref.at[0, 0], vs_ref.at[0, 0], out_ref.at[0],
+                m, l, acc, block_s=block_s, sm_scale=sm_scale, len_offset=1,
+            )
+        else:
+            _flash_decode_kernel_allheads(
+                len_ref,
+                q_ref.at[0], k_ref.at[0, 0], ks_ref.at[0, 0],
+                v_ref.at[0, 0], vs_ref.at[0, 0], out_ref.at[0],
+                m, l, acc, n_kv=Hkv, block_s=block_s, sm_scale=sm_scale,
+                len_offset=1, flat_scales=True,
+            )
 
     out = pl.pallas_call(
         kernel,

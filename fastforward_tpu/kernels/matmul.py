@@ -814,6 +814,7 @@ def matmul_w4a8_2l_gemv_stacked(
     if M < 8:
         x_q = jnp.pad(x_q, ((0, 8 - M), (0, 0)))
         x_scale = jnp.pad(x_scale, (0, 8 - M))
+    block_n = int(_os.environ.get("FF_2L_BLOCK_N", block_n))
     bn = _round_block(block_n, 128, N)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -495,19 +495,55 @@ def serving_forward_stacked(
     return logits, new_cache
 
 
-def make_stacked_decode_loop(config: LlamaConfig, num_steps: int, donate: bool = True):
-    """Greedy decode loop over the stacked forward; one XLA program."""
+def make_stacked_decode_loop(
+    config: LlamaConfig,
+    num_steps: int,
+    donate: bool = True,
+    sampling=None,
+):
+    """Decode loop over the stacked forward; one XLA program.
 
-    def loop(params, stacked_layers, cache, token):
+    Greedy by default. Pass a `serving.sampling.SamplingParams` with
+    ``temperature > 0`` for stochastic decoding — the returned loop then
+    takes an extra trailing PRNG key argument:
+    ``loop(params, stacked_layers, cache, token, key)``.
+    """
+    from fastforward_tpu.serving.sampling import SamplingParams, sample_logits
+
+    sampling = sampling or SamplingParams(temperature=0.0)
+
+    if sampling.is_greedy:
+        def loop(params, stacked_layers, cache, token):
+            def step(carry, _):
+                cache, token = carry
+                logits, cache = serving_forward_stacked(
+                    params, stacked_layers, config, token, cache
+                )
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(token.dtype)[:, None]
+                return (cache, nxt), nxt[:, 0]
+
+            (cache, _), tokens = jax.lax.scan(
+                step, (cache, token), None, length=num_steps
+            )
+            return tokens.T, cache
+
+        return jax.jit(loop, donate_argnums=(2,) if donate else ())
+
+    def loop_sampled(params, stacked_layers, cache, token, key):
         def step(carry, _):
-            cache, token = carry
+            cache, token, key = carry
             logits, cache = serving_forward_stacked(
                 params, stacked_layers, config, token, cache
             )
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(token.dtype)[:, None]
-            return (cache, nxt), nxt[:, 0]
+            key, sub = jax.random.split(key)
+            nxt = sample_logits(logits[:, -1], sampling, sub).astype(
+                token.dtype
+            )[:, None]
+            return (cache, nxt, key), nxt[:, 0]
 
-        (cache, _), tokens = jax.lax.scan(step, (cache, token), None, length=num_steps)
+        (cache, _, _), tokens = jax.lax.scan(
+            step, (cache, token, key), None, length=num_steps
+        )
         return tokens.T, cache
 
-    return jax.jit(loop, donate_argnums=(2,) if donate else ())
+    return jax.jit(loop_sampled, donate_argnums=(2,) if donate else ())

@@ -845,7 +845,11 @@ def matmul_w4a8_2l_gemv_stacked(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bm, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=(
+                "parallel"
+                if _os.environ.get("FF_2L_PARGRID", "0") == "1"
+                else "arbitrary",
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bm * N * K,

@@ -49,12 +49,18 @@ class ContinuousBatchingEngine:
         max_batch: int = 8,
         max_len: int = 1024,
         quantized_cache: bool = True,
+        sampling=None,
+        seed: int = 0,
     ):
+        from fastforward_tpu.serving.sampling import SamplingParams
+
         self.config = config
         self.params = params
         self.stacked = stacked_layers
         self.max_batch = max_batch
         self.max_len = max_len
+        self.sampling = sampling or SamplingParams(temperature=0.0)
+        self._key = jax.random.PRNGKey(seed)
 
         self.cache = StackedKVCache.create(
             num_layers=config.num_layers, batch_size=max_batch, max_len=max_len,
@@ -77,12 +83,17 @@ class ContinuousBatchingEngine:
 
         cfg = config
 
+        sampling_params = self.sampling
+
         @jax.jit
-        def _decode_step(params, stacked, cache, tokens, positions):
+        def _decode_step(params, stacked, cache, tokens, positions, key):
+            from fastforward_tpu.serving.sampling import sample_logits
+
             logits, cache = serving_forward_stacked(
                 params, stacked, cfg, tokens, cache=cache, positions=positions
             )
-            return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+            nxt = sample_logits(logits[:, -1], sampling_params, key)
+            return nxt.astype(jnp.int32), cache
 
         @jax.jit
         def _prefill(params, stacked, small_cache, ids):
@@ -131,8 +142,9 @@ class ContinuousBatchingEngine:
 
         tokens = jnp.asarray(self.slot_token[:, None])
         positions = jnp.asarray(self.slot_pos[:, None])
+        self._key, sub = jax.random.split(self._key)
         next_tokens, self.cache = self._decode_step(
-            self.params, self.stacked, self.cache, tokens, positions
+            self.params, self.stacked, self.cache, tokens, positions, sub
         )
         next_tokens = np.asarray(next_tokens)
 

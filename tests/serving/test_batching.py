@@ -98,3 +98,23 @@ def test_staggered_admission(setup):
     # b's output is unaffected by a's occupancy of the batch
     assert results[rid_b] == expected_b
     assert len(results[rid_a]) == 8
+
+
+def test_engine_with_stochastic_sampling():
+    # GIVEN an engine configured with temperature/top-k sampling
+    from fastforward_tpu.models.llama import LlamaConfig
+    from fastforward_tpu.serving.sampling import SamplingParams
+    from fastforward_tpu.serving.stacked import random_stacked_params
+
+    config = LlamaConfig.tiny()
+    params, stacked = random_stacked_params(config, mode="w4a8", seed=0)
+    engine = ContinuousBatchingEngine(
+        config, params, stacked, max_batch=2, max_len=32,
+        sampling=SamplingParams(temperature=0.9, top_k=16), seed=7,
+    )
+    # WHEN running two requests # THEN both complete with the right lengths
+    a = engine.submit([1, 2, 3], max_new_tokens=5)
+    b = engine.submit([4, 5], max_new_tokens=3)
+    out = engine.run_until_complete()
+    assert len(out[a]) == 5 and len(out[b]) == 3
+    assert all(0 <= t < config.vocab_size for t in out[a] + out[b])

@@ -967,6 +967,77 @@ def dequantize_int4(
     )(w_packed, ws)
 
 
+def _dequant_int4_paired_stacked_kernel(l_ref, wp_ref, m_ref, sc_ref, out_ref, *, group: int):
+    # Layer-indexed paired dequant: effective per-group scale mult * s_col is
+    # formed in-kernel from the (1, 2, bn) multiplier block and the (1, 1, bn)
+    # column scale, so no per-layer s_eff array ever exists.
+    p32 = pltpu.bitcast(wp_ref[0], jnp.int32)
+    low = pltpu.bitcast(jnp.bitwise_and(p32, 0x0F0F0F0F), jnp.int8)
+    high = pltpu.bitcast(jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F), jnp.int8)
+    sc = sc_ref[0, 0].astype(jnp.float32)
+    s_lo = (m_ref[0, 0, 0].astype(jnp.float32) * sc).astype(jnp.bfloat16)
+    s_hi = (m_ref[0, 1, 0].astype(jnp.float32) * sc).astype(jnp.bfloat16)
+    out_ref[0:group, :] = (low.astype(jnp.bfloat16) - 8.0) * s_lo
+    out_ref[group:, :] = (high.astype(jnp.bfloat16) - 8.0) * s_hi
+
+
+def dequantize_int4_paired_stacked(
+    w_packed: jax.Array,   # (L, K//2, N) paired offset-binary
+    mult: jax.Array,       # (L, n_groups, N) int
+    s_col: jax.Array,      # (L, N) f32
+    layer: jax.Array,      # scalar int32
+    group_size: int = 128,
+    block_n: int = 512,
+) -> jax.Array:
+    """Dequantize layer ``layer`` of stacked two-level W4 weights to bf16.
+
+    Prefill companion to `matmul_w4a8_2l_gemv_stacked`: the layer index rides
+    scalar prefetch into the index maps, so prefill never materializes
+    per-layer slices of the packed weights / multipliers / scales (the slice
+    copies cost ~6.4 ms of the 51 ms device-side 8B batch-1 prefill —
+    profiler-traced).
+    """
+    L, K2, N = w_packed.shape
+    K = K2 * 2
+    n_groups = K // group_size
+    if not _on_tpu():
+        wl = jax.lax.dynamic_index_in_dim(w_packed, layer, keepdims=False)
+        ml = jax.lax.dynamic_index_in_dim(mult, layer, keepdims=False)
+        sl = jax.lax.dynamic_index_in_dim(s_col, layer, keepdims=False)
+        s_eff = ml.astype(jnp.float32) * sl[None, :]
+        return dequantize_int4(
+            wl, s_eff, group_size, offset_binary=True, paired=True
+        )
+    bn = _round_block(block_n, 128, N)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups // 2, pl.cdiv(N, bn)),
+        in_specs=[
+            pl.BlockSpec((1, group_size, bn), lambda g, j, l: (l[0], g, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 1, bn), lambda g, j, l: (l[0], g, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda g, j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * group_size, bn), lambda g, j, l: (g, j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_dequant_int4_paired_stacked_kernel, group=group_size),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, N), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=K * N, bytes_accessed=K * N // 2 + K * N * 2, transcendentals=0
+        ),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32),
+      w_packed, mult.reshape(L, n_groups, 1, N),
+      s_col.astype(jnp.float32).reshape(L, 1, N))
+
+
 # =============================================================================
 # W4A16: packed int4 per-group weights, bf16 activations (weight-only)
 # =============================================================================

@@ -152,6 +152,23 @@ class QuantLinear:
                 group_size=self.group_size, out_dtype=out_dtype,
             )
             return out.reshape(*lead, -1)
+        if self.mode == "w4a8_2l" and self.paired and self.mult is not None:
+            # Prefill-shaped (M > GEMV) stacked weights: layer-indexed
+            # one-pass dequant + XLA full-rate matmul — no per-layer slice
+            # of the packed weights/multipliers/scales is ever materialized
+            # (kernels/matmul.py:dequantize_int4_paired_stacked).
+            from fastforward_tpu.kernels.matmul import (
+                dequantize_int4_paired_stacked,
+            )
+
+            x_q, x_s = quantize_rowwise(x2)
+            w = dequantize_int4_paired_stacked(
+                self.data, self.mult, self.scale, layer,
+                group_size=self.group_size,
+            )
+            xb = (x_q.astype(jnp.float32) * x_s[:, None]).astype(jnp.bfloat16)
+            out = jax.lax.dot(xb, w, preferred_element_type=jnp.float32)
+            return out.astype(out_dtype).reshape(*lead, -1)
         idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, keepdims=False)
         sliced = QuantLinear(
             idx(self.data), idx(self.scale), mode=self.mode,

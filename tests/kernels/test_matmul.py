@@ -290,3 +290,26 @@ def test_stacked_layer_indexed_gemv_matches_reference():
             out_dtype=jnp.float32, paired=True,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_stacked_paired_dequant_matches_per_layer():
+    # GIVEN stacked paired two-level weights
+    from fastforward_tpu.kernels.matmul import (
+        dequantize_int4,
+        dequantize_int4_paired_stacked,
+    )
+
+    rng = np.random.RandomState(13)
+    L, K, N, g = 3, 512, 256, 128
+    wp = jnp.asarray(rng.randint(-128, 128, (L, K // 2, N)), jnp.int8)
+    mult = jnp.asarray(rng.randint(1, 16, (L, K // g, N)), jnp.int32)
+    s_col = jnp.asarray(rng.rand(L, N).astype(np.float32) * 1e-2)
+    # WHEN dequantizing each layer via the layer-indexed stacked entry
+    # THEN it matches the per-layer dequant with s_eff = mult * s_col
+    for l in range(L):
+        out = dequantize_int4_paired_stacked(
+            wp, mult, s_col, jnp.asarray(l, jnp.int32), group_size=g
+        )
+        s_eff = mult[l].astype(jnp.float32) * s_col[l][None, :]
+        ref = dequantize_int4(wp[l], s_eff, g, offset_binary=True, paired=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref))

@@ -5,7 +5,7 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "tokens/s/chip", "vs_baseline": N}
 
 - value: greedy-decode tokens/s/chip for Llama-3-8B (random weights), W4A8
-  per-group g=128 weights + INT8 KV cache, batch FF_BENCH_BATCH (default 8),
+  per-group g=128 weights + INT8 KV cache, batch FF_BENCH_BATCH (default 32),
   decode loop fully jitted (lax.scan over steps, lax.scan over layers).
 - vs_baseline: speedup over the *reference-equivalent* path — fake-quant
   simulation (bf16 weights QDQ'd per use, exactly FastForward's execution
@@ -89,7 +89,7 @@ def main():
     # dots; measured 422 → 466 tok/s (batch 8) / 843 → 923 (batch 32) on
     # Llama-3-8B vs the float-per-group-scale kernel.
     mode = os.environ.get("FF_BENCH_MODE", "w4a8_2l")
-    batch = int(os.environ.get("FF_BENCH_BATCH", "8"))
+    batch = int(os.environ.get("FF_BENCH_BATCH", "32"))
     steps = int(os.environ.get("FF_BENCH_STEPS", "32"))
     prefill_len = int(os.environ.get("FF_BENCH_PREFILL", "128"))
 

@@ -26,6 +26,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _fit_block_s(S: int, block_s: int) -> int:
+    """Largest candidate block size that divides S (Mosaic cannot slice
+    padded lane tails); 0 when none of the candidates fit."""
+    block_s = min(block_s, S)
+    if S % block_s == 0:
+        return block_s
+    for candidate in (512, 256, 128):
+        if candidate <= S and S % candidate == 0:
+            return candidate
+    return 0
+
+
 def flash_decode_int8_reference(
     q: jax.Array,          # (B, H, d) bf16/f32
     k: jax.Array,          # (B, Hkv, S, d) int8
@@ -269,12 +281,12 @@ def flash_decode_int8_stacked(
     """Flash decode reading K/V of layer ``layer`` straight from the stacked
     cache via scalar-prefetch index maps.
 
-    K/V block index maps are *clamped to the last valid block* for the
-    sequence (``min(s, (length-1)//block_s)``): Pallas skips the copy when a
-    block index repeats between grid steps, so HBM traffic is
-    O(length), not O(S) — at the bench's length≈160 in a S=512 cache the
-    whole-S block read 3× more KV than exists. Out-of-range steps are also
-    compute-skipped (`start < length`).
+    With ``FF_FLASH_CLAMP=1`` the K/V block index maps are clamped to the
+    last valid block (``min(s, (length-1)//block_s)``) aiming at O(length)
+    instead of O(S) cache reads; measured a wash-to-negative at the bench's
+    short lengths (docs/performance.md "Negative results") so it defaults
+    OFF — by default the kernel reads the whole S extent and relies on the
+    `start < length` compute skip only.
 
     Companion to `kv_append_decode_int8_stacked`: with the cache living in a
     layer-scan carry, neither the append nor the read ever materializes a
@@ -292,14 +304,7 @@ def flash_decode_int8_stacked(
 
     from fastforward_tpu.kernels.matmul import _on_tpu
 
-    block_s = min(block_s, S)
-    if S % block_s != 0:
-        for candidate in (512, 256, 128):
-            if candidate <= S and S % candidate == 0:
-                block_s = candidate
-                break
-        else:
-            block_s = 0
+    block_s = _fit_block_s(S, block_s)
     if not _on_tpu() or groups < 2 or block_s == 0 or d % 128 != 0:
         kl = jax.lax.dynamic_index_in_dim(k, layer, keepdims=False)
         ksl = jax.lax.dynamic_index_in_dim(k_scale, layer, keepdims=False)
@@ -409,14 +414,7 @@ def flash_decode_int8(
 
     # Pick a block size that divides S (Mosaic cannot slice padded lane
     # tails); fall back to the XLA path for hostile shapes or tiny GQA.
-    block_s = min(block_s, S)
-    if S % block_s != 0:
-        for candidate in (512, 256, 128):
-            if candidate <= S and S % candidate == 0:
-                block_s = candidate
-                break
-        else:
-            block_s = 0
+    block_s = _fit_block_s(S, block_s)
     if not _on_tpu() or groups < 2 or block_s == 0 or d % 128 != 0:
         return flash_decode_int8_reference(q, k, k_scale, v, v_scale, lengths, scale)
 

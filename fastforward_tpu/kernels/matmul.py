@@ -776,7 +776,7 @@ def matmul_w4a8_2l_gemv_stacked(
     layer: jax.Array,
     group_size: int = 128,
     out_dtype=jnp.bfloat16,
-    block_n: int = 512,
+    block_n: Optional[int] = None,
 ) -> jax.Array:
     """Two-level W4A8 decode GEMV over *stacked* per-layer weights.
 
@@ -814,7 +814,8 @@ def matmul_w4a8_2l_gemv_stacked(
     if M < 8:
         x_q = jnp.pad(x_q, ((0, 8 - M), (0, 0)))
         x_scale = jnp.pad(x_scale, (0, 8 - M))
-    block_n = int(_os.environ.get("FF_2L_BLOCK_N", block_n))
+    if block_n is None:  # env knob is a default, never an override
+        block_n = int(_os.environ.get("FF_2L_BLOCK_N", "512"))
     bn = _round_block(block_n, 128, N)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

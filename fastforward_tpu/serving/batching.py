@@ -82,7 +82,6 @@ class ContinuousBatchingEngine:
         self._done: dict[int, Request] = {}
 
         cfg = config
-
         sampling_params = self.sampling
 
         @jax.jit
@@ -96,11 +95,14 @@ class ContinuousBatchingEngine:
             return nxt.astype(jnp.int32), cache
 
         @jax.jit
-        def _prefill(params, stacked, small_cache, ids):
+        def _prefill(params, stacked, small_cache, ids, key):
+            from fastforward_tpu.serving.sampling import sample_logits
+
             logits, small_cache = serving_forward_stacked(
                 params, stacked, cfg, ids, cache=small_cache
             )
-            return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), small_cache
+            nxt = sample_logits(logits[:, -1], sampling_params, key)
+            return nxt.astype(jnp.int32), small_cache
 
         @jax.jit
         def _scatter_slot(cache: StackedKVCache, small: StackedKVCache, slot):
@@ -184,7 +186,10 @@ class ContinuousBatchingEngine:
     def _start(self, slot: int, request: Request) -> None:
         prompt = jnp.asarray(np.asarray(request.prompt, np.int32)[None, :])
         small = StackedKVCache.create(**self._small_cache_template)
-        first_token, small = self._prefill(self.params, self.stacked, small, prompt)
+        self._key, sub = jax.random.split(self._key)
+        first_token, small = self._prefill(
+            self.params, self.stacked, small, prompt, sub
+        )
         self.cache = self._scatter_slot(self.cache, small, slot)
         token = int(np.asarray(first_token)[0])
         request.generated.append(token)

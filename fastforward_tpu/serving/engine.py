@@ -152,7 +152,13 @@ class QuantLinear:
                 group_size=self.group_size, out_dtype=out_dtype,
             )
             return out.reshape(*lead, -1)
-        if self.mode == "w4a8_2l" and self.paired and self.mult is not None:
+        if (
+            self.mode == "w4a8_2l"
+            and self.paired
+            and self.mult is not None
+            and x2.shape[0] > _GEMV_MAX_M
+            and _on_tpu()
+        ):
             # Prefill-shaped (M > GEMV) stacked weights: layer-indexed
             # one-pass dequant + XLA full-rate matmul — no per-layer slice
             # of the packed weights/multipliers/scales is ever materialized

@@ -42,7 +42,12 @@ class SamplingParams:
 
 
 def _apply_top_k(logits: jax.Array, k: int) -> jax.Array:
-    """Mask all but the k largest logits per row to -inf."""
+    """Mask all but the k largest logits per row to -inf.
+
+    ``k`` larger than the vocabulary degrades to a no-op (clamped) rather
+    than tripping `lax.top_k`'s k <= dim requirement inside the jitted step.
+    """
+    k = min(k, logits.shape[-1])
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)
 

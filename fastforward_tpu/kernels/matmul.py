@@ -693,6 +693,135 @@ def matmul_w4a8_2l_gemv(
     return out[:M]
 
 
+_NEG_BIG = jnp.float32(-3.0e38)
+
+
+def _w4a8_2l_gemv_argmax_kernel(
+    x_ref, xs_ref, wp_ref, m_ref, sc_ref, val_ref, idx_ref, acc_ref,
+    *, n_groups: int, group: int, n_total: int, bn: int,
+):
+    # Paired two-level GEMV with a fused greedy-decode epilogue: instead of
+    # writing the (bm, N) fp32 logits to HBM and running a separate XLA
+    # argmax over the 128k-vocab axis (measured ~0.9 ms/step at batch 8 for
+    # the argmax alone, plus the logits round-trip), reduce each N panel to
+    # a per-row running (max, argmax) carried in the revisited (bm, 1)
+    # output blocks. Tie-breaking matches `jnp.argmax` exactly: first
+    # occurrence wins (in-panel min-index over equal maxima; strict `>`
+    # across panels scanning left to right).
+    j = pl.program_id(0)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for p in range(n_groups // 2):
+        p32 = pltpu.bitcast(wp_ref[p * group:(p + 1) * group, :], jnp.int32)
+        m_lo = m_ref[2 * p, 0, :].reshape(1, -1)
+        m_hi = m_ref[2 * p + 1, 0, :].reshape(1, -1)
+        lo = jnp.bitwise_and(p32, 0x0F0F0F0F) * m_lo
+        hi = jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) * m_hi
+        w_lo = pltpu.bitcast((lo + (_B0x80 - m_lo * 0x08080808)) ^ _B0x80, jnp.int8)
+        w_hi = pltpu.bitcast((hi + (_B0x80 - m_hi * 0x08080808)) ^ _B0x80, jnp.int8)
+        acc_ref[:] += jax.lax.dot(
+            x_ref[:, 2 * p * group:(2 * p + 1) * group], w_lo,
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[:] += jax.lax.dot(
+            x_ref[:, (2 * p + 1) * group:(2 * p + 2) * group], w_hi,
+            preferred_element_type=jnp.int32,
+        )
+    out = acc_ref[:].astype(jnp.float32) * sc_ref[:] * xs_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) + j * bn
+    # Mask the ragged tail of the last panel (N % bn != 0 for 128256/512):
+    # Pallas-padded lanes hold undefined values that must never win.
+    out = jnp.where(col < n_total, out, _NEG_BIG)
+    pm = jnp.max(out, axis=1, keepdims=True)
+    pidx = jnp.min(
+        jnp.where(out == pm, col, jnp.int32(n_total)), axis=1, keepdims=True
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        val_ref[:] = pm
+        idx_ref[:] = pidx
+
+    @pl.when(j > 0)
+    def _update():
+        better = pm > val_ref[:]
+        val_ref[:] = jnp.where(better, pm, val_ref[:])
+        idx_ref[:] = jnp.where(better, pidx, idx_ref[:])
+
+
+def matmul_w4a8_2l_gemv_argmax(
+    x_q: jax.Array,
+    x_scale: jax.Array,
+    w_packed: jax.Array,
+    mult: jax.Array,
+    s_col: jax.Array,
+    group_size: int = 128,
+    block_n: int = 512,
+    paired: Optional[bool] = None,
+) -> jax.Array:
+    """Greedy-decode lm_head: fused two-level W4A8 GEMV + row argmax.
+
+    Returns the int32 argmax index over the N (vocab) axis per row of
+    ``x_q`` — the full logits never leave VMEM. Bit-identical token choice
+    to ``jnp.argmax(matmul_w4a8_2l_gemv(...), axis=-1)`` (fp32 epilogue in
+    both paths, first-occurrence tie-breaking).
+    """
+    import os as _os
+
+    M, K = x_q.shape
+    N = w_packed.shape[1]
+    n_groups = K // group_size
+    if paired is None:
+        paired = _os.environ.get("FF_2L_PAIRED", "1") == "1" and n_groups % 2 == 0
+    if not _on_tpu() or not paired:
+        logits = matmul_w4a8_2l_reference(
+            x_q, x_scale, w_packed, mult, s_col, None, group_size,
+            jnp.float32, paired=paired,
+        ) if not _on_tpu() else matmul_w4a8_2l_gemv(
+            x_q, x_scale, w_packed, mult, s_col, group_size,
+            jnp.float32, block_n, paired=paired,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    bm = max(8, M)
+    if M < 8:
+        x_q = jnp.pad(x_q, ((0, 8 - M), (0, 0)))
+        x_scale = jnp.pad(x_scale, (0, 8 - M))
+    bn = _round_block(block_n, 128, N)
+    val, idx = pl.pallas_call(
+        functools.partial(
+            _w4a8_2l_gemv_argmax_kernel,
+            n_groups=n_groups, group=group_size, n_total=N, bn=bn,
+        ),
+        grid=(pl.cdiv(N, bn),),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // 2, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, 1, bn), lambda j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bm, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bm, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * N * K,
+            bytes_accessed=K * N // 2 + bm * K + bm * 8,
+            transcendentals=0,
+        ),
+    )(x_q, x_scale.reshape(bm, 1).astype(jnp.float32), w_packed,
+      mult.astype(jnp.int32).reshape(n_groups, 1, N),
+      s_col.astype(jnp.float32).reshape(1, N))
+    del val
+    return idx[:M, 0]
+
+
 def _w4a8_2l_gemv_stacked_kernel(
     l_ref, x_ref, xs_ref, wp_ref, m_ref, sc_ref, out_ref, acc_ref,
     *, n_groups: int, group: int,

@@ -693,7 +693,9 @@ def matmul_w4a8_2l_gemv(
     return out[:M]
 
 
-_NEG_BIG = jnp.float32(-3.0e38)
+# Python float (not a jnp scalar: a traced constant may not be captured by a
+# Pallas kernel body) well below any representable logit.
+_NEG_BIG = -3.0e38
 
 
 def _w4a8_2l_gemv_argmax_kernel(

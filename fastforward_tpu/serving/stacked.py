@@ -241,12 +241,21 @@ def serving_forward_stacked(
     cache: Optional[StackedKVCache] = None,
     positions: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
+    greedy_head: bool = False,
 ):
     """Forward with `lax.scan` over layers. Returns (logits, new_cache).
 
     ``tp_axis``: when running inside `shard_map` with Megatron-style TP
     (q/k/v/gate/up column-parallel, o/down row-parallel), the name of the
     model axis — the row-parallel partial sums are `psum`'d over it.
+
+    ``greedy_head``: decode-only fast path — instead of materializing the
+    (B, T, vocab) fp32 logits and argmax-ing in XLA, run the fused
+    GEMV+argmax Pallas kernel (`matmul_w4a8_2l_gemv_argmax`): the 128k-vocab
+    logits never leave VMEM. Returns (token_ids (B,) int32, new_cache).
+    Bit-identical token choice to `jnp.argmax(logits[:, -1])` (same fp32
+    epilogue, first-occurrence ties). Requires T == 1 and a two-level
+    W4A8 `lm_head`; other configurations fall back to logits + argmax.
     """
     B, T = input_ids.shape
     nh, nkv, d = config.num_heads, config.num_kv_heads, config.head_dim
@@ -488,10 +497,23 @@ def serving_forward_stacked(
         new_cache = None
 
     x = _rms_norm(x, params.final_norm, eps)
-    if params.lm_head is not None:
-        logits = params.lm_head(x, out_dtype=jnp.float32)
+    lm = params.lm_head
+    if greedy_head and T == 1 and lm is not None and lm.mode == "w4a8_2l":
+        from fastforward_tpu.kernels.matmul import matmul_w4a8_2l_gemv_argmax
+        from fastforward_tpu.serving.engine import quantize_rowwise
+
+        x_q, x_s = quantize_rowwise(x.reshape(B, -1))
+        tok = matmul_w4a8_2l_gemv_argmax(
+            x_q, x_s, lm.data, lm.mult, lm.scale,
+            group_size=lm.group_size, paired=lm.paired,
+        )
+        return tok, new_cache
+    if lm is not None:
+        logits = lm(x, out_dtype=jnp.float32)
     else:
         logits = jnp.einsum("bth,vh->btv", x, params.embedding).astype(jnp.float32)
+    if greedy_head:
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), new_cache
     return logits, new_cache
 
 
@@ -513,13 +535,23 @@ def make_stacked_decode_loop(
     sampling = sampling or SamplingParams(temperature=0.0)
 
     if sampling.is_greedy:
+        # Fused GEMV+argmax head (logits never leave VMEM): bit-identical
+        # tokens, measured perf-neutral at batch 8/32 on v5e (the XLA
+        # argmax+logits round-trip overlaps with the scanned layer stack),
+        # so default off per the no-win knob convention. Verified vs the
+        # two-pass oracle on real TPU incl. the ragged 128256 tail.
+        fused_argmax = os.environ.get("FF_FUSED_ARGMAX", "0") == "1"
+
         def loop(params, stacked_layers, cache, token):
             def step(carry, _):
                 cache, token = carry
-                logits, cache = serving_forward_stacked(
-                    params, stacked_layers, config, token, cache
+                tok, cache = serving_forward_stacked(
+                    params, stacked_layers, config, token, cache,
+                    greedy_head=fused_argmax,
                 )
-                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(token.dtype)[:, None]
+                if not fused_argmax:
+                    tok = jnp.argmax(tok[:, -1], axis=-1)
+                nxt = tok.astype(token.dtype)[:, None]
                 return (cache, nxt), nxt[:, 0]
 
             (cache, _), tokens = jax.lax.scan(

@@ -113,3 +113,27 @@ def test_stacked_kv_carry_path_matches_slab_path(setup, monkeypatch):
         scale = max(np.abs(deq_b).max(), 1e-6)
         np.testing.assert_allclose(deq_a, deq_b, atol=0.05 * scale)
     assert int(out_cache.length) == int(ref_cache.length)
+
+
+def test_greedy_loop_fused_argmax_matches_logits_argmax(monkeypatch):
+    # GIVEN a tiny two-level W4A8 model (the fused GEMV+argmax head's mode)
+    config = LlamaConfig.tiny()
+    from fastforward_tpu.serving.stacked import random_stacked_params
+
+    params, stacked = random_stacked_params(config, mode="w4a8_2l", seed=0)
+
+    def run(fused):
+        monkeypatch.setenv("FF_FUSED_ARGMAX", "1" if fused else "0")
+        cache = StackedKVCache.create(
+            num_layers=config.num_layers, batch_size=2, max_len=32,
+            num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
+            quantized=True,
+        )
+        tok = jnp.asarray([[3], [200]], jnp.int32)
+        loop = make_stacked_decode_loop(config, num_steps=6, donate=False)
+        tokens, _ = loop(params, stacked, cache, tok)
+        return np.asarray(tokens)
+
+    # WHEN decoding greedily with the fused head on and off
+    # THEN the token streams are identical (bit-identical argmax contract)
+    np.testing.assert_array_equal(run(True), run(False))

@@ -4,7 +4,10 @@ from fastforward_tpu.algorithms.gptq import (
     gptq_quantize,
     invert_hessian,
 )
-from fastforward_tpu.algorithms.layerwise import layerwise_optimize
+from fastforward_tpu.algorithms.layerwise import (
+    layerwise_optimize,
+    layerwise_optimize_staged,
+)
 
 __all__ = [
     "gptq",
@@ -12,4 +15,5 @@ __all__ = [
     "calculate_hessian",
     "invert_hessian",
     "layerwise_optimize",
+    "layerwise_optimize_staged",
 ]

@@ -18,7 +18,8 @@ reference's `OffloadEverything` CPU↔GPU ping-pong
 (`instruction_engine.py:1148-1188`); device_put back per-layer.
 """
 
-from typing import Any, Callable, Iterable, Optional
+import contextlib
+from typing import Any, Callable, Iterable, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -116,4 +117,144 @@ def layerwise_optimize(
             (x,) = capture([item.module])
             algorithm(item.module, x, **algorithm_kwargs)
             optimized.append(item.full_name)
+    return optimized
+
+
+class _EarlyExit(Exception):
+    """Raised by the stage-input catcher to abort the forward after the
+    prelude (embedding etc.) has produced the first stage's input."""
+
+
+@contextlib.contextmanager
+def _catch_stage_inputs(module: Any, sink: list, abort: bool):
+    """Temporarily intercept calls to ``module`` (one specific instance),
+    appending host copies of (args, kwargs) to ``sink``.
+
+    Interception patches ``type(module).__call__`` with an instance check —
+    JAX/nnx modules dispatch ``stage(x)`` through the class, so instance
+    attributes cannot intercept. With ``abort`` the real body never runs
+    (AutoGPTQ-style catcher): capturing stage-0 inputs costs only the
+    prelude compute, not a full forward.
+    """
+    cls = type(module)
+    orig = cls.__call__
+
+    def wrapper(self, *args, **kwargs):
+        if self is module:
+            sink.append((jax.device_get(args), jax.device_get(kwargs)))
+            if abort:
+                raise _EarlyExit
+        return orig(self, *args, **kwargs)
+
+    cls.__call__ = wrapper
+    try:
+        yield
+    finally:
+        cls.__call__ = orig
+
+
+def layerwise_optimize_staged(
+    model: Any,
+    calibration_batches: Iterable[Any],
+    algorithm: Callable[..., None],
+    *,
+    stages: Union[str, Sequence[Any]],
+    targets: str = "**/[cls:QuantizedLinear]",
+    context: Optional[dict] = None,
+    forward: Optional[Callable[[Any, Any], Any]] = None,
+    stage_output: Callable[[Any], Any] = lambda out: out[0] if isinstance(out, tuple) else out,
+    **algorithm_kwargs: Any,
+) -> list[str]:
+    """Single-pass layer-sequential optimization with host activation caching.
+
+    The capability of the reference's scheduled instruction engine
+    (`_orchestration/instruction_engine.py:689-990`: one pass, each layer fed
+    cached already-optimized upstream activations, lifetime-managed) without
+    the VM — a cached stage walker:
+
+      1. One *prelude-only* pass over the calibration batches captures stage
+         0's inputs (a catcher aborts the forward at the stage boundary, so
+         the embedding/prelude is the only compute).
+      2. Per stage: run the stage once over the cached inputs with recorders
+         on each target's ``input_quantizer`` (captures target inputs), run
+         ``algorithm`` on every target, then re-run the stage with the now
+         *optimized* weights to produce the next stage's cached inputs
+         (faithful GPTQ error propagation).
+
+    Total stage compute = 2 stage-forwards per stage per batch — a 16-layer
+    model with 32 batches costs 2× one full forward of layer compute, vs the
+    O(L) full forwards of ``layerwise_optimize(sequential=True)``.
+
+    ``stages``: ordered stage modules, or an mpath query resolving to them —
+    each stage must take the previous stage's (hidden-state) output as its
+    first positional argument; remaining args/kwargs are captured per batch
+    in the prelude pass and replayed. ``stage_output`` extracts the hidden
+    state from a stage's return value (default: first element of a tuple).
+    ``targets`` is searched *within* each stage.
+
+    Activations live on host between stages (`jax.device_get`/`device_put`) —
+    the analog of the reference's `OffloadEverything` ping-pong.
+
+    Returns the optimized module paths ("<stage>/<target>").
+    """
+    from fastforward_tpu import flags
+
+    batches = list(calibration_batches)
+    run = forward or (lambda m, b: m(b))
+
+    if isinstance(stages, str):
+        stage_items = list(mpath.search(stages, model, context=context))
+        stage_list = [(item.full_name, item.module) for item in stage_items]
+    else:
+        stage_list = [(f"stage{i}", m) for i, m in enumerate(stages)]
+    if not stage_list:
+        return []
+
+    # 1. Prelude pass: catch stage-0 inputs, abort before the stage body.
+    cached: list = []
+    first_stage = stage_list[0][1]
+    with _catch_stage_inputs(first_stage, cached, abort=True):
+        with flags.strict_quantization(False):
+            for batch in batches:
+                try:
+                    run(model, batch)
+                except _EarlyExit:
+                    pass
+    if len(cached) != len(batches):
+        raise RuntimeError(
+            f"stage-input capture saw {len(cached)} calls for {len(batches)} "
+            "batches — is the first stage called exactly once per forward?"
+        )
+
+    optimized: list[str] = []
+    for stage_name, stage in stage_list:
+        t_items = list(mpath.search(targets, stage, context=context))
+        recorders, handles = [], []
+        for item in t_items:
+            r, h = _attach_recorder(item.module)
+            recorders.append(r)
+            handles.append(h)
+        try:
+            with flags.strict_quantization(False):
+                for args, kwargs in cached:
+                    args = jax.device_put(args)
+                    stage(*args, **kwargs)
+        finally:
+            for h in handles:
+                h.remove()
+        for item, r in zip(t_items, recorders):
+            algorithm(item.module, r.concat(), **algorithm_kwargs)
+            optimized.append(f"{stage_name}/{item.full_name}")
+        # 2. Recompute this stage's outputs with optimized weights → the
+        #    next stage's cached inputs; the previous cache entry is dropped
+        #    immediately (lifetime management).
+        new_cached = []
+        with flags.strict_quantization(False):
+            for args, kwargs in cached:
+                args = jax.device_put(args)
+                out = stage_output(stage(*args, **kwargs))
+                new_cached.append(
+                    ((jax.device_get(out),) + args[1:], kwargs)
+                )
+        cached = new_cached
     return optimized

@@ -84,3 +84,110 @@ get_export_mode, set_export_mode, export_mode = _context_flag("export_mode", def
 # simulation tier (pure-jnp fake quantization). The reference's analogous
 # switch is `compiled_quant_funcs` (`flags.py:96`) which toggles torch.compile.
 get_use_kernels, set_use_kernels, use_kernels = _context_flag("use_kernels", default=True)
+
+
+# ---------------------------------------------------------------------------
+# Environment knobs (A/B switches for the serving/kernel hot path)
+# ---------------------------------------------------------------------------
+#
+# Every FF_* environment switch in the package is declared HERE — kernels and
+# serving code import these accessors instead of reading `os.environ` inline
+# (round-1 review flagged 19 scattered reads, several numerics-affecting).
+# Knobs are read at call time (not import time) so tests can monkeypatch the
+# environment, but there is exactly one definition per knob: name, type,
+# default, and what it selects.
+#
+# IMPORTANT: the at-rest nibble layout (`paired`) is a property of the DATA —
+# `QuantLinear.paired` / explicit packer arguments — never of the environment.
+# `default_paired_layout()` below is consulted only at *pack/freeze time* to
+# choose the layout for newly packed weights; decode kernels receive the
+# layout from the caller.
+
+import os as _os
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    raw = _os.environ.get(name)
+    if raw is None:
+        return default
+    return raw == "1"
+
+
+def _env_int(name: str, default: int) -> int:
+    raw = _os.environ.get(name)
+    return default if raw is None else int(raw)
+
+
+def _env_str(name: str, default: str) -> str:
+    return _os.environ.get(name, default)
+
+
+def default_paired_layout() -> bool:
+    """Pack-time default for the two-level W4 nibble layout (FF_2L_PAIRED).
+
+    True → `pack_uint4_offset_paired` (adjacent-group pairing, concat-free
+    GEMV); False → group-halves layout. Only consulted when packing new
+    weights; decode always follows the layout recorded on the data.
+    """
+    return _env_bool("FF_2L_PAIRED", True)
+
+
+def two_level_block_n() -> int:
+    """N-panel width for the two-level GEMV kernels (FF_2L_BLOCK_N)."""
+    return _env_int("FF_2L_BLOCK_N", 512)
+
+
+def two_level_concat() -> int:
+    """Max K-adjacent groups folded per MXU dot, halves layout (FF_2L_CONCAT)."""
+    return _env_int("FF_2L_CONCAT", 1)
+
+
+def two_level_nofold() -> bool:
+    """Debug: skip the SWAR scale fold in the halves kernel (FF_2L_NOFOLD)."""
+    return _env_bool("FF_2L_NOFOLD", False)
+
+
+def two_level_dotraw() -> bool:
+    """Stacked GEMV variant: dot raw nibbles, scale on the accumulator
+    (FF_2L_DOTRAW; measured no-win, default off)."""
+    return _env_bool("FF_2L_DOTRAW", False)
+
+
+def two_level_pargrid() -> bool:
+    """Stacked GEMV variant: parallel-N grid (FF_2L_PARGRID; no-win, off)."""
+    return _env_bool("FF_2L_PARGRID", False)
+
+
+def kv_write_mode() -> str:
+    """Decode KV append strategy: kernel | mask | scatter (FF_KV_WRITE)."""
+    return _env_str("FF_KV_WRITE", "kernel")
+
+
+def kv_stacked_mode() -> str:
+    """Stacked-KV carry flow: 1 | 0 | force (FF_KV_STACKED)."""
+    return _env_str("FF_KV_STACKED", "1")
+
+
+def use_flash_attention() -> bool:
+    """Flash-decode attention vs XLA dequant attention (FF_BENCH_FLASH)."""
+    return _env_bool("FF_BENCH_FLASH", True)
+
+
+def flash_allheads() -> bool:
+    """Fold all KV heads into one flash grid step (FF_FLASH_ALLHEADS)."""
+    return _env_bool("FF_FLASH_ALLHEADS", True)
+
+
+def flash_batched() -> bool:
+    """Head-batched dot_general flash kernel (FF_FLASH_BATCHED)."""
+    return _env_bool("FF_FLASH_BATCHED", True)
+
+
+def flash_clamp() -> bool:
+    """Clamp flash S-blocking to the live length (FF_FLASH_CLAMP; off)."""
+    return _env_bool("FF_FLASH_CLAMP", False)
+
+
+def fused_argmax() -> bool:
+    """Fused GEMV+argmax greedy lm_head (FF_FUSED_ARGMAX)."""
+    return _env_bool("FF_FUSED_ARGMAX", False)

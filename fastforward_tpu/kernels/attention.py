@@ -14,10 +14,11 @@ backends and as the numerical oracle.
 """
 
 import functools
-import os
 from typing import Optional
 
 import jax
+
+from fastforward_tpu import flags
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -298,7 +299,7 @@ def flash_decode_int8_stacked(
     L, _, Hkv, S, _ = k.shape
     groups = H // Hkv
     sm_scale = float(scale if scale is not None else 1.0 / np.sqrt(d))
-    clamp = os.environ.get("FF_FLASH_CLAMP", "0") == "1"
+    clamp = flags.flash_clamp()
     if block_s is None:
         block_s = 256 if clamp else 512
 
@@ -363,7 +364,7 @@ def flash_decode_int8_stacked(
         ],
     )
 
-    batched = os.environ.get("FF_FLASH_BATCHED", "1") == "1"
+    batched = flags.flash_batched()
 
     def kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, m, l, acc):
         if batched:
@@ -424,7 +425,7 @@ def flash_decode_int8(
     # All-heads variant is the default (bench A/B at 8B: batch 8 465->479,
     # batch 32 955->1012 tok/s); FF_FLASH_ALLHEADS=0 selects the per-(b,h)
     # grid for comparison.
-    if os.environ.get("FF_FLASH_ALLHEADS", "1") == "1":
+    if flags.flash_allheads():
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, n_s),

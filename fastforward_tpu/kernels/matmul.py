@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fastforward_tpu import flags
 from fastforward_tpu.kernels.packing import (
     pack_int4,
     pack_uint4_offset,
@@ -189,24 +190,6 @@ def _unpack_tile(packed: jax.Array) -> jax.Array:
     return jnp.concatenate([low, high], axis=0).astype(jnp.int8)
 
 
-def _w4a8_kernel(x_ref, xs_ref, wp_ref, ws_ref, out_ref, acc_ref, *, n_k: int, half: int):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    # Unpack one K-group of weights: (half, bn) packed → (2*half, bn) int8.
-    w = _unpack_tile(wp_ref[:])
-
-    group_acc = jax.lax.dot(x_ref[:], w, preferred_element_type=jnp.int32)
-    acc_ref[:] += group_acc.astype(jnp.float32) * ws_ref[0]
-
-    @pl.when(k == n_k - 1)
-    def _epilogue():
-        out_ref[:] = (acc_ref[:] * xs_ref[:]).astype(out_ref.dtype)
-
-
 def matmul_w4a8(
     x_q: jax.Array,
     x_scale: jax.Array,
@@ -244,44 +227,9 @@ def matmul_w4a8(
     w = dequantize_int4(w_packed, w_scale, group_size)
     xb = (x_q.astype(jnp.float32) * x_scale[:, None]).astype(jnp.bfloat16)
     out = jax.lax.dot(xb, w, preferred_element_type=jnp.float32)
-    out = out * 1.0  # keep f32 for the bias add below
     if bias is not None:
         out = out + bias
     return out.astype(out_dtype)
-
-    half = group_size // 2
-    bm = _round_block(block_m, 8, max(M, 8))
-    bn = _round_block(block_n, 128, N)
-    n_k = n_groups  # one grid step per K-group
-
-    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), n_k)
-    out = pl.pallas_call(
-        functools.partial(_w4a8_kernel, n_k=n_k, half=half),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, group_size), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((half, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            # Scales as (n_groups, 1, N): a (1, 1, bn) block keeps the TPU
-            # last-two-dims tiling rule satisfied (middle dim == array dim).
-            pl.BlockSpec((1, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * M * N * K,
-            bytes_accessed=M * K + K * N // 2 + M * N * 2,
-            transcendentals=0,
-        ),
-    )(x_q, x_scale.reshape(M, 1).astype(jnp.float32), w_packed,
-      w_scale.astype(jnp.float32).reshape(n_groups, 1, N))
-    if bias is not None:
-        out = (out.astype(jnp.float32) + bias).astype(out_dtype)
-    return out
 
 
 # =============================================================================
@@ -466,13 +414,11 @@ def convert_two_level(
     group count is even) in the adjacent-group pairing
     (`pack_uint4_offset_paired`) the concat-free decode kernel consumes.
     """
-    import os as _os
-
     n_groups, N = w_scale.shape
     K = w_packed.shape[0] * 2
     g = group_size
     if paired is None:
-        paired = _os.environ.get("FF_2L_PAIRED", "1") == "1" and n_groups % 2 == 0
+        paired = flags.default_paired_layout() and n_groups % 2 == 0
     s = w_scale.astype(jnp.float32)
     s_col = jnp.maximum(jnp.max(s, axis=0) / 15.0, 1e-12)  # (N,)
     m = jnp.clip(jnp.round(s / s_col[None, :]), 1, 15)
@@ -499,13 +445,11 @@ def matmul_w4a8_2l_reference(
     `pack_uint4_offset_paired` when ``paired`` (the default for even group
     counts, matching `convert_two_level`), else `pack_uint4_offset`.
     """
-    import os as _os
-
     M, K = x_q.shape
     N = w_packed.shape[1]
     n_groups = K // group_size
     if paired is None:
-        paired = _os.environ.get("FF_2L_PAIRED", "1") == "1" and n_groups % 2 == 0
+        paired = flags.default_paired_layout() and n_groups % 2 == 0
     unpack = unpack_uint4_offset_paired if paired else unpack_uint4_offset
     v = unpack(w_packed, group_size).reshape(
         n_groups, group_size, N
@@ -639,10 +583,8 @@ def matmul_w4a8_2l_gemv(
     N = w_packed.shape[1]
     n_groups = K // group_size
     half = group_size // 2
-    import os as _os
-
     if paired is None:
-        paired = _os.environ.get("FF_2L_PAIRED", "1") == "1" and n_groups % 2 == 0
+        paired = flags.default_paired_layout() and n_groups % 2 == 0
     if not _on_tpu():
         return matmul_w4a8_2l_reference(
             x_q, x_scale, w_packed, mult, s_col, None, group_size, out_dtype,
@@ -653,7 +595,7 @@ def matmul_w4a8_2l_gemv(
         x_q = jnp.pad(x_q, ((0, 8 - M), (0, 0)))
         x_scale = jnp.pad(x_scale, (0, 8 - M))
 
-    max_cat = int(_os.environ.get("FF_2L_CONCAT", "1"))
+    max_cat = flags.two_level_concat()
     concat_groups = next(
         c for c in (max_cat, 8, 4, 2, 1) if c <= max_cat and n_groups % c == 0
     )
@@ -665,7 +607,7 @@ def matmul_w4a8_2l_gemv(
         kernel = functools.partial(
             _w4a8_2l_gemv_kernel,
             n_groups=n_groups, half=half, concat_groups=concat_groups,
-            nofold=_os.environ.get("FF_2L_NOFOLD") == "1",
+            nofold=flags.two_level_nofold(),
         )
     bn = _round_block(block_n, 128, N)
     out = pl.pallas_call(
@@ -734,8 +676,14 @@ def _w4a8_2l_gemv_argmax_kernel(
     # Pallas-padded lanes hold undefined values that must never win.
     out = jnp.where(col < n_total, out, _NEG_BIG)
     pm = jnp.max(out, axis=1, keepdims=True)
+    # NaN guard: a NaN logit makes `out == pm` false on every lane, which
+    # would yield the out-of-vocab index n_total. Count NaN lanes as hits so
+    # the returned index is always in-vocab (within a panel this matches
+    # jnp.argmax's first-NaN-wins; NaN logits are otherwise out of contract
+    # for the fused head — greedy decode on NaN logits is already garbage).
+    hit = (out == pm) | jnp.isnan(out)
     pidx = jnp.min(
-        jnp.where(out == pm, col, jnp.int32(n_total)), axis=1, keepdims=True
+        jnp.where(hit, col, jnp.int32(n_total)), axis=1, keepdims=True
     )
 
     @pl.when(j == 0)
@@ -767,13 +715,11 @@ def matmul_w4a8_2l_gemv_argmax(
     to ``jnp.argmax(matmul_w4a8_2l_gemv(...), axis=-1)`` (fp32 epilogue in
     both paths, first-occurrence tie-breaking).
     """
-    import os as _os
-
     M, K = x_q.shape
     N = w_packed.shape[1]
     n_groups = K // group_size
     if paired is None:
-        paired = _os.environ.get("FF_2L_PAIRED", "1") == "1" and n_groups % 2 == 0
+        paired = flags.default_paired_layout() and n_groups % 2 == 0
     if not _on_tpu() or not paired:
         logits = matmul_w4a8_2l_reference(
             x_q, x_scale, w_packed, mult, s_col, None, group_size,
@@ -924,8 +870,6 @@ def matmul_w4a8_2l_gemv_stacked(
     Kernel-level parity with `matmul_w4a8_2l_gemv(paired=True)`; bit-exact
     vs `matmul_w4a8_2l_reference` on the selected layer.
     """
-    import os as _os
-
     from fastforward_tpu.kernels.packing import unpack_mult_nibbles
 
     M, K = x_q.shape
@@ -946,7 +890,7 @@ def matmul_w4a8_2l_gemv_stacked(
         x_q = jnp.pad(x_q, ((0, 8 - M), (0, 0)))
         x_scale = jnp.pad(x_scale, (0, 8 - M))
     if block_n is None:  # env knob is a default, never an override
-        block_n = int(_os.environ.get("FF_2L_BLOCK_N", "512"))
+        block_n = flags.two_level_block_n()
     bn = _round_block(block_n, 128, N)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -970,7 +914,7 @@ def matmul_w4a8_2l_gemv_stacked(
     out = pl.pallas_call(
         functools.partial(
             _w4a8_2l_gemv_stacked_kernel_dotraw
-            if _os.environ.get("FF_2L_DOTRAW", "0") == "1"
+            if flags.two_level_dotraw()
             else _w4a8_2l_gemv_stacked_kernel,
             n_groups=n_groups, group=group_size
         ),
@@ -979,7 +923,7 @@ def matmul_w4a8_2l_gemv_stacked(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
                 "parallel"
-                if _os.environ.get("FF_2L_PARGRID", "0") == "1"
+                if flags.two_level_pargrid()
                 else "arbitrary",
             ),
         ),

@@ -93,18 +93,18 @@ def params_specs(params: ServingParams) -> ServingParams:
     )
 
 
-def cache_specs(cache: StackedKVCache) -> StackedKVCache:
+def cache_specs(cache: StackedKVCache, data_axis: str = "data") -> StackedKVCache:
     return StackedKVCache(
-        k=P(None, "data", "model", None, None),
-        v=P(None, "data", "model", None, None),
-        k_scale=None if cache.k_scale is None else P(None, "data", "model", None),
-        v_scale=None if cache.v_scale is None else P(None, "data", "model", None),
+        k=P(None, data_axis, "model", None, None),
+        v=P(None, data_axis, "model", None, None),
+        k_scale=None if cache.k_scale is None else P(None, data_axis, "model", None),
+        v_scale=None if cache.v_scale is None else P(None, data_axis, "model", None),
         length=P(),
     )
 
 
 def shard_for_tp(params: ServingParams, stacked: ServingLayer,
-                 cache: StackedKVCache, mesh: Mesh):
+                 cache: StackedKVCache, mesh: Mesh, data_axis: str = "data"):
     """Place params/stacked/cache on the mesh with the TP layout."""
     def put(tree, specs):
         return jax.tree.map(
@@ -116,14 +116,21 @@ def shard_for_tp(params: ServingParams, stacked: ServingLayer,
     return (
         put(params, params_specs(params)),
         put(stacked, stacked_layer_specs(stacked)),
-        put(cache, cache_specs(cache)),
+        put(cache, cache_specs(cache, data_axis)),
     )
 
 
 def make_tp_decode_step(config: LlamaConfig, mesh: Mesh, stacked: ServingLayer,
-                        params: ServingParams, cache: StackedKVCache):
+                        params: ServingParams, cache: StackedKVCache,
+                        data_axis: str = "data"):
     """Build the jitted shard_map decode step:
-    (params, stacked, cache, tokens, positions) → (logits, cache)."""
+    (params, stacked, cache, tokens, positions) → (logits, cache).
+
+    ``data_axis``: the mesh axis carrying the batch — "data" single-host,
+    "dcn" for the multi-host hybrid mesh (`parallel/multihost.py`), where
+    weights replicate across hosts and each host decodes its batch shard
+    with zero DCN collectives in the step.
+    """
     tp = int(mesh.shape["model"])
     if config.num_kv_heads % tp != 0:
         raise ValueError(
@@ -137,7 +144,7 @@ def make_tp_decode_step(config: LlamaConfig, mesh: Mesh, stacked: ServingLayer,
 
     p_specs = params_specs(params)
     s_specs = stacked_layer_specs(normalize_stacked_for_tp(stacked, tp))
-    c_specs = cache_specs(cache)
+    c_specs = cache_specs(cache, data_axis)
 
     def step(params, stacked, cache, tokens, positions):
         logits, cache = serving_forward_stacked(
@@ -149,8 +156,8 @@ def make_tp_decode_step(config: LlamaConfig, mesh: Mesh, stacked: ServingLayer,
     sharded = shard_map(
         step,
         mesh=mesh,
-        in_specs=(p_specs, s_specs, c_specs, P("data", None), P(None)),
-        out_specs=(P("data", None, None), c_specs),
+        in_specs=(p_specs, s_specs, c_specs, P(data_axis, None), P(None)),
+        out_specs=(P(data_axis, None, None), c_specs),
         check_rep=False,
     )
     return jax.jit(sharded)

@@ -22,6 +22,8 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from fastforward_tpu import flags
 from flax import nnx
 
 from fastforward_tpu.kernels import (
@@ -211,10 +213,8 @@ def quantize_linear(
         q = jnp.clip(jnp.round(wg / scale[:, None, :]), -8, 7).astype(jnp.int8)
         packed = pack_int4(q.reshape(K, N), group_size=g)
         if mode == "w4a8_2l":
-            import os as _os
-
             paired = (
-                _os.environ.get("FF_2L_PAIRED", "1") == "1" and (K // g) % 2 == 0
+                flags.default_paired_layout() and (K // g) % 2 == 0
             )
             packed, mult, s_col = convert_two_level(packed, scale, g, paired=paired)
             return QuantLinear(

@@ -9,12 +9,13 @@ through the scan.
 
 import dataclasses
 import functools
-import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from fastforward_tpu import flags
 
 from fastforward_tpu.kernels.matmul import _on_tpu as _serving_on_tpu
 from fastforward_tpu.models.llama import LlamaConfig, apply_rope, rope_frequencies
@@ -85,7 +86,7 @@ class FusedServingLayer:
 
 
 def _paired_default(n_groups: int) -> bool:
-    return os.environ.get("FF_2L_PAIRED", "1") == "1" and n_groups % 2 == 0
+    return flags.default_paired_layout() and n_groups % 2 == 0
 
 
 def _concat_ql(qls, axis_name="N"):
@@ -298,7 +299,7 @@ def serving_forward_stacked(
 
     groups = nh // nkv
 
-    kv_write = os.environ.get("FF_KV_WRITE", "kernel")
+    kv_write = flags.kv_write_mode()
     # Stacked-KV decode: the full (L, ...) cache rides the layer-scan CARRY
     # and both the append and the flash read are layer-indexed via scalar
     # prefetch — no per-layer slab slice/update-slice and no per-step
@@ -307,13 +308,13 @@ def serving_forward_stacked(
     # the 8B batch-8 loop). `FF_KV_STACKED=0` re-selects the slab flow;
     # `FF_KV_STACKED=force` takes this path off-TPU too (reference-oracle
     # fallbacks inside the kernels keep it exact for CPU tests).
-    _kv_stacked_env = os.environ.get("FF_KV_STACKED", "1")
+    _kv_stacked_env = flags.kv_stacked_mode()
     stacked_kv = (
         cache is not None
         and cache.is_quantized
         and T == 1
         and kv_write == "kernel"
-        and os.environ.get("FF_BENCH_FLASH", "1") == "1"
+        and flags.use_flash_attention()
         and (
             _kv_stacked_env == "force"
             or (_kv_stacked_env == "1" and _serving_on_tpu())
@@ -413,7 +414,7 @@ def serving_forward_stacked(
                 # kernel A/B isolation on the bench.
                 use_flash = (
                     T == 1 and groups >= 2 and _on_tpu()
-                    and os.environ.get("FF_BENCH_FLASH", "1") == "1"
+                    and flags.use_flash_attention()
                 )
                 if use_flash:
                     # Stream the int8 cache through the flash-decode kernel —
@@ -540,7 +541,7 @@ def make_stacked_decode_loop(
         # argmax+logits round-trip overlaps with the scanned layer stack),
         # so default off per the no-win knob convention. Verified vs the
         # two-pass oracle on real TPU incl. the ragged 128256 tail.
-        fused_argmax = os.environ.get("FF_FUSED_ARGMAX", "0") == "1"
+        fused_argmax = flags.fused_argmax()
 
         def loop(params, stacked_layers, cache, token):
             def step(carry, _):

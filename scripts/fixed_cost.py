@@ -15,7 +15,8 @@ full - smallembed  = big-embedding gather cost
 full - noargmax    = argmax-vs-sum cost over 128k fp32
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/fixed_cost.py
-Env: FF_FC_BATCH (8), FF_FC_STEPS (64), FF_FC_REPEATS (3), FF_FC_VARIANTS
+Env: FF_FC_BATCH (8), FF_FC_STEPS (64), FF_FC_REPEATS (3), FF_FC_VARIANTS,
+     FF_FC_MODE (w4a8_2l)
 """
 
 import dataclasses
@@ -81,7 +82,8 @@ def main():
     repeats = int(os.environ.get("FF_FC_REPEATS", "3"))
     max_len = 512
 
-    base_params, stacked = random_stacked_params(config, mode="w4a8", seed=0)
+    mode = os.environ.get("FF_FC_MODE", "w4a8_2l")
+    base_params, stacked = random_stacked_params(config, mode=mode, seed=0)
     stacked = fuse_stacked_layers(stacked)
     variants = os.environ.get(
         "FF_FC_VARIANTS", "full,noargmax,smallhead,smallembed").split(",")

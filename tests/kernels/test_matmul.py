@@ -313,3 +313,94 @@ def test_stacked_paired_dequant_matches_per_layer():
         s_eff = mult[l].astype(jnp.float32) * s_col[l][None, :]
         ref = dequantize_int4(wp[l], s_eff, g, offset_binary=True, paired=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_paired_layout_survives_env_flip(monkeypatch):
+    # GIVEN weights packed under the paired at-rest layout (recorded on the
+    # QuantLinear), decode must be bit-exact even when the FF_2L_PAIRED env
+    # default is flipped afterwards — layout is a property of the DATA, the
+    # env knob only selects the default for *newly packed* weights.
+    from fastforward_tpu.kernels import convert_two_level, matmul_w4a8_2l_reference
+    from fastforward_tpu.serving.engine import QuantLinear
+
+    rng = np.random.RandomState(7)
+    K, N, g = 512, 128, 128
+    w_q = rng.randint(-8, 8, (K, N)).astype(np.int8)
+    w_scale = (rng.rand(K // g, N).astype(np.float32) + 0.5) * 1e-2
+    packed = pack_int4(jnp.asarray(w_q), group_size=g)
+    p2, mult, s_col = convert_two_level(
+        packed, jnp.asarray(w_scale), g, paired=True
+    )
+    ql = QuantLinear(p2, s_col, mode="w4a8_2l", group_size=g, mult=mult, paired=True)
+
+    x = jnp.asarray(rng.randn(4, K).astype(np.float32) * 0.1)
+    before = np.asarray(ql(x, out_dtype=jnp.float32))
+
+    monkeypatch.setenv("FF_2L_PAIRED", "0")
+    after = np.asarray(ql(x, out_dtype=jnp.float32))
+    np.testing.assert_array_equal(before, after)
+
+    # And the explicit-paired reference agrees regardless of the env.
+    x_q, x_scale = quantize_rowwise(x)
+    ref = matmul_w4a8_2l_reference(
+        x_q, x_scale, p2, mult, s_col, group_size=g, out_dtype=jnp.float32,
+        paired=True,
+    )
+    np.testing.assert_allclose(before, np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def _two_level_head(rng, K, N, g):
+    from fastforward_tpu.kernels import convert_two_level
+
+    w_q = rng.randint(-8, 8, (K, N)).astype(np.int8)
+    w_scale = (rng.rand(K // g, N).astype(np.float32) + 0.5) * 1e-2
+    packed = pack_int4(jnp.asarray(w_q), group_size=g)
+    return convert_two_level(packed, jnp.asarray(w_scale), g, paired=True)
+
+
+def test_gemv_argmax_fallback_matches_jnp_argmax():
+    # CPU dispatch of the fused GEMV+argmax head: falls back to the XLA
+    # reference + jnp.argmax. Includes a ragged tail (N % block_n != 0).
+    from fastforward_tpu.kernels.matmul import (
+        matmul_w4a8_2l_gemv_argmax,
+        matmul_w4a8_2l_reference,
+    )
+
+    rng = np.random.RandomState(11)
+    K, N, g = 256, 640, 128  # N not divisible by block_n=512
+    p2, mult, s_col = _two_level_head(rng, K, N, g)
+    x = jnp.asarray(rng.randn(8, K).astype(np.float32) * 0.1)
+    x_q, x_scale = quantize_rowwise(x)
+
+    tok = matmul_w4a8_2l_gemv_argmax(
+        x_q, x_scale, p2, mult, s_col, group_size=g, paired=True
+    )
+    logits = matmul_w4a8_2l_reference(
+        x_q, x_scale, p2, mult, s_col, group_size=g, out_dtype=jnp.float32,
+        paired=True,
+    )
+    ref = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref))
+    assert tok.dtype == jnp.int32
+    assert int(np.max(np.asarray(tok))) < N
+
+
+def test_gemv_argmax_ties_first_occurrence():
+    # Deliberate exact ties: duplicate weight columns produce identical
+    # logits; first occurrence must win (jnp.argmax contract).
+    from fastforward_tpu.kernels.matmul import matmul_w4a8_2l_gemv_argmax
+
+    rng = np.random.RandomState(3)
+    K, N, g = 256, 256, 128
+    p2, mult, s_col = _two_level_head(rng, K, N, g)
+    # duplicate every column pair: cols 2j and 2j+1 identical
+    p2 = jnp.repeat(p2[:, ::2], 2, axis=1)
+    mult = jnp.repeat(mult[:, ::2], 2, axis=1)
+    s_col = jnp.repeat(s_col[::2], 2, axis=0)
+    x = jnp.asarray(rng.randn(4, K).astype(np.float32) * 0.1)
+    x_q, x_scale = quantize_rowwise(x)
+    tok = np.asarray(
+        matmul_w4a8_2l_gemv_argmax(x_q, x_scale, p2, mult, s_col, group_size=g,
+                                   paired=True)
+    )
+    assert np.all(tok % 2 == 0), tok  # even index = first of each tied pair

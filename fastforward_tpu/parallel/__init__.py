@@ -1,4 +1,9 @@
 from fastforward_tpu.parallel.mesh import make_mesh
+from fastforward_tpu.parallel.multihost import (
+    host_local_batch_slice,
+    initialize_distributed,
+    make_hybrid_mesh,
+)
 from fastforward_tpu.parallel.context import context_parallel_attention, ring_attention
 from fastforward_tpu.parallel.pipeline import pipeline_forward, pipeline_stage_loop
 from fastforward_tpu.parallel.sharding import (
@@ -9,6 +14,9 @@ from fastforward_tpu.parallel.sharding import (
 
 __all__ = [
     "make_mesh",
+    "make_hybrid_mesh",
+    "initialize_distributed",
+    "host_local_batch_slice",
     "shard_serving_params",
     "shard_kv_cache",
     "serving_param_spec",

@@ -191,3 +191,34 @@ def flash_clamp() -> bool:
 def fused_argmax() -> bool:
     """Fused GEMV+argmax greedy lm_head (FF_FUSED_ARGMAX)."""
     return _env_bool("FF_FUSED_ARGMAX", False)
+
+
+def two_level_skipfold() -> bool:
+    """DIAGNOSTIC ONLY (wrong numerics): skip the SWAR fold in the stacked
+    GEMV and dot the raw packed bytes (FF_2L_SKIPFOLD) — isolates the VPU
+    fold cost from DMA+MXU in A/B timing runs."""
+    return _env_bool("FF_2L_SKIPFOLD", False)
+
+
+def two_level_skipdot() -> bool:
+    """DIAGNOSTIC ONLY (wrong numerics): skip all but the first pair's dots
+    in the stacked GEMV (FF_2L_SKIPDOT) — pure-DMA pipeline ceiling."""
+    return _env_bool("FF_2L_SKIPDOT", False)
+
+
+def two_level_concat_pairs() -> int:
+    """Adjacent pair blocks folded+concatenated per MXU dot in the stacked
+    paired GEMV (FF_2L_CONCAT_PAIRS, default 1 = one dot per plane)."""
+    return _env_int("FF_2L_CONCAT_PAIRS", 1)
+
+
+def use_flash_prefill() -> bool:
+    """Blocked flash prefill attention vs dense (T, S) einsum+mask
+    (FF_FLASH_PREFILL)."""
+    return _env_bool("FF_FLASH_PREFILL", True)
+
+
+def fused_layer() -> bool:
+    """One-pallas_call o+MLP layer tail in the stacked decode loop
+    (FF_FUSED_LAYER)."""
+    return _env_bool("FF_FUSED_LAYER", False)

@@ -515,3 +515,227 @@ def flash_decode_int8(
       k_scale.reshape(B, Hkv, 1, S).astype(jnp.float32), v,
       v_scale.reshape(B, Hkv, 1, S).astype(jnp.float32))
     return out.reshape(B, H, d)
+
+
+# =============================================================================
+# Flash prefill attention (bf16 q, int8 or bf16 KV, causal, GQA — no repeat)
+# =============================================================================
+
+
+def flash_prefill_reference(
+    q: jax.Array,                    # (B, H, T, d)
+    k: jax.Array,                    # (B, Hkv, S, d) int8 or bf16
+    k_scale: Optional[jax.Array],    # (B, Hkv, S) f32 when k is int8
+    v: jax.Array,
+    v_scale: Optional[jax.Array],
+    starts: jax.Array,               # (B,) int32 — abs position of q row 0
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Oracle: dense causal attention with the (T, S) score matrix.
+
+    Query row t (absolute position starts[b]+t) attends K/V rows
+    s <= starts[b]+t. Matches the engine's dense-mask formulation
+    (`serving/stacked.py` mask construction) without materializing the
+    additive mask tensor at the caller.
+    """
+    B, H, T, d = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    groups = H // Hkv
+    sm_scale = scale if scale is not None else 1.0 / np.sqrt(d)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if k_scale is not None:
+        kf = kf * k_scale[..., None]
+    if v_scale is not None:
+        vf = vf * v_scale[..., None]
+    if groups > 1:
+        kf = jnp.repeat(kf, groups, axis=1)
+        vf = jnp.repeat(vf, groups, axis=1)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q.astype(jnp.float32), kf) * sm_scale
+    pos = starts[:, None] + jnp.arange(T)[None, :]            # (B, T)
+    valid = jnp.arange(S)[None, None, None, :] <= pos[:, None, :, None]
+    scores = jnp.where(valid, scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", weights, vf)
+    return out.astype(q.dtype)
+
+
+def _flash_prefill_kernel(
+    st_ref,    # scalar prefetch: (B,) starts
+    q_ref,     # (G, BT, d)
+    k_ref,     # (BS, d) int8/bf16
+    ks_ref,    # (1, BS) f32 (all-ones when KV unquantized)
+    v_ref,     # (BS, d)
+    vs_ref,    # (1, BS) f32
+    out_ref,   # (G, BT, d)
+    m_ref,     # scratch (G*BT, 128) f32
+    l_ref,     # scratch (G*BT, 128) f32
+    acc_ref,   # scratch (G*BT, d) f32
+    *,
+    groups: int,
+    block_t: int,
+    block_s: int,
+    sm_scale: float,
+):
+    # One (b, h_kv, t-block) tile against successive S blocks: classic
+    # blocked online softmax; the G query heads of the KV group share the
+    # K/V tile (GQA without jnp.repeat — reference `sdpa.py:93-265` has the
+    # full-sequence math, the engine's dense path materialized (T, S)).
+    b = pl.program_id(0)
+    t_idx = pl.program_id(2)
+    s_idx = pl.program_id(3)
+    n_s = pl.num_programs(3)
+    rows = groups * block_t
+
+    @pl.when(s_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    start = st_ref[b]
+    s0 = s_idx * block_s
+    # Last absolute q position in this t-block; S blocks fully beyond the
+    # causal frontier are skipped (≈2× fewer score blocks on a fresh prefill).
+    t_last = start + t_idx * block_t + block_t - 1
+
+    @pl.when(s0 <= t_last)
+    def _process():
+        q = q_ref[...].astype(jnp.bfloat16).reshape(rows, q_ref.shape[-1])
+        kf = k_ref[...].astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(            # (rows, BS)
+            q, kf, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores * ks_ref[0][None, :] * sm_scale
+
+        # causal mask: row r (head g, block row t) has abs position
+        # start + t_idx*BT + (r % BT); valid iff s <= that position.
+        r = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        t_abs = start + t_idx * block_t + jax.lax.rem(r, block_t)
+        s_abs = s0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(s_abs <= t_abs, scores, NEG_INF)
+
+        m_prev = m_ref[:, 0][:, None]
+        m_cur = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+        pv = (p * vs_ref[0][None, :]).astype(jnp.bfloat16)
+        vf = v_ref[...].astype(jnp.bfloat16)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+            pv, vf, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(s_idx == n_s - 1)
+    def _finalize():
+        denom = jnp.maximum(l_ref[:, 0][:, None], 1e-20)
+        out = (acc_ref[:] / denom).astype(out_ref.dtype)
+        out_ref[...] = out.reshape(groups, block_t, out_ref.shape[-1])
+
+
+def _fit_block(extent: int, candidates) -> int:
+    for c in candidates:
+        if c <= extent and extent % c == 0:
+            return c
+    return 0
+
+
+def flash_prefill(
+    q: jax.Array,                    # (B, H, T, d) bf16/f32
+    k: jax.Array,                    # (B, Hkv, S, d) int8 or bf16
+    k_scale: Optional[jax.Array],    # (B, Hkv, S) when int8, else None
+    v: jax.Array,
+    v_scale: Optional[jax.Array],
+    starts: jax.Array,               # (B,) int32
+    scale: Optional[float] = None,
+    block_t: int = 128,
+    block_s: int = 512,
+) -> jax.Array:
+    """Blocked causal prefill attention, O(T·S) compute but O(block²) memory:
+    no (T, S) score materialization, no GQA KV repeat, int8 KV dequantized
+    in-register. Falls back to the dense reference off-TPU or for hostile
+    shapes. (Replaces the engine's dense einsum+mask prefill path —
+    VERDICT round 1 item 5; at 8k context the dense path's (T, S) f32
+    scores are 2 GB/head-batch.)
+    """
+    B, H, T, d = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    groups = H // Hkv
+    sm_scale = float(scale if scale is not None else 1.0 / np.sqrt(d))
+
+    from fastforward_tpu.kernels.matmul import _on_tpu
+
+    bt = _fit_block(T, (block_t, 64, 32, 16, 8))
+    bs = _fit_block_s(S, block_s)
+    if not _on_tpu() or bt == 0 or bs == 0 or d % 128 != 0:
+        return flash_prefill_reference(q, k, k_scale, v, v_scale, starts, scale)
+
+    quantized = k.dtype == jnp.int8
+    if k_scale is None:
+        k_scale = jnp.ones((B, Hkv, S), jnp.float32)
+    if v_scale is None:
+        v_scale = jnp.ones((B, Hkv, S), jnp.float32)
+
+    q5 = q.reshape(B, Hkv, groups, T, d)
+    n_t = pl.cdiv(T, bt)
+    n_s = pl.cdiv(S, bs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, n_t, n_s),
+        in_specs=[
+            pl.BlockSpec((1, 1, groups, bt, d),
+                         lambda b, h, t, s, st: (b, h, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, d), lambda b, h, t, s, st: (b, h, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bs), lambda b, h, t, s, st: (b, h, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, d), lambda b, h, t, s, st: (b, h, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bs), lambda b, h, t, s, st: (b, h, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, groups, bt, d), lambda b, h, t, s, st: (b, h, 0, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((groups * bt, 128), jnp.float32),
+            pltpu.VMEM((groups * bt, 128), jnp.float32),
+            pltpu.VMEM((groups * bt, d), jnp.float32),
+        ],
+    )
+
+    def kernel(st_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, m, l, acc):
+        _flash_prefill_kernel(
+            st_ref,
+            q_ref.at[0, 0], k_ref.at[0, 0], ks_ref.at[0, 0],
+            v_ref.at[0, 0], vs_ref.at[0, 0], out_ref.at[0, 0],
+            m, l, acc,
+            groups=groups, block_t=bt, block_s=bs, sm_scale=sm_scale,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, groups, T, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * T * S * d // 2,
+            bytes_accessed=(
+                B * H * T * d * 2 * 2
+                + B * Hkv * S * d * (1 if quantized else 2) * 2
+            ),
+            transcendentals=B * H * T * S // 2,
+        ),
+    )(starts.astype(jnp.int32), q5, k, k_scale.reshape(B, Hkv, 1, S).astype(jnp.float32),
+      v, v_scale.reshape(B, Hkv, 1, S).astype(jnp.float32))
+    return out.reshape(B, H, T, d)

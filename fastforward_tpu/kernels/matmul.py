@@ -770,6 +770,41 @@ def matmul_w4a8_2l_gemv_argmax(
     return idx[:M, 0]
 
 
+def _w4a8_2l_gemv_stacked_body_concat(
+    x_ref, wp_ref, m_ref, acc_ref, *, n_groups: int, group: int,
+    concat_pairs: int,
+):
+    # Concat-pairs variant: SWAR-fold `concat_pairs` adjacent pair blocks,
+    # concatenate the folded planes along K (the groups are K-adjacent) and
+    # issue ONE MXU dot over 2*concat_pairs*group rows — fewer, longer dots
+    # amortize the per-dot pipeline fill at decode-sized M.
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for c in range(n_groups // 2 // concat_pairs):
+        planes = []
+        for q in range(concat_pairs):
+            p = c * concat_pairs + q
+            p32 = pltpu.bitcast(
+                wp_ref[0, p * group:(p + 1) * group, :], jnp.int32
+            )
+            word = m_ref[0, (2 * p) // 8, :].reshape(1, -1)
+            m_lo = jnp.bitwise_and(word >> (4 * ((2 * p) % 8)), 0xF)
+            m_hi = jnp.bitwise_and(word >> (4 * ((2 * p) % 8) + 4), 0xF)
+            lo = jnp.bitwise_and(p32, 0x0F0F0F0F) * m_lo
+            hi = jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) * m_hi
+            planes.append(pltpu.bitcast(
+                (lo + (_B0x80 - m_lo * 0x08080808)) ^ _B0x80, jnp.int8
+            ))
+            planes.append(pltpu.bitcast(
+                (hi + (_B0x80 - m_hi * 0x08080808)) ^ _B0x80, jnp.int8
+            ))
+        w = jnp.concatenate(planes, axis=0)
+        k0 = 2 * c * concat_pairs * group
+        acc_ref[:] += jax.lax.dot(
+            x_ref[:, k0:k0 + 2 * concat_pairs * group], w,
+            preferred_element_type=jnp.int32,
+        )
+
+
 def _w4a8_2l_gemv_stacked_kernel(
     l_ref, x_ref, xs_ref, wp_ref, m_ref, sc_ref, out_ref, acc_ref,
     *, n_groups: int, group: int,
@@ -781,26 +816,56 @@ def _w4a8_2l_gemv_stacked_kernel(
     # shifts + ands per pair on a (1, bn) vector recover them; this keeps
     # the mult operand 8× smaller so XLA never decides to re-stage the
     # whole stacked array into scoped memory each layer step.
-    acc_ref[:] = jnp.zeros_like(acc_ref)
+    #
+    # The per-pair dots accumulate in a register VALUE (not acc_ref[:] +=):
+    # a single memory-carried accumulator chains every dot behind the
+    # previous one AND the preceding VPU fold — keeping the partial sums as
+    # two independent values lets Mosaic overlap pair p+1's fold with pair
+    # p's MXU dots.
+    skipfold = flags.two_level_skipfold()
+    skipdot = flags.two_level_skipdot()
+    concat_pairs = flags.two_level_concat_pairs()
+    if concat_pairs > 1 and not skipfold and not skipdot:
+        _w4a8_2l_gemv_stacked_body_concat(
+            x_ref, wp_ref, m_ref, acc_ref, n_groups=n_groups, group=group,
+            concat_pairs=concat_pairs,
+        )
+        out_ref[:] = (
+            acc_ref[:].astype(jnp.float32) * sc_ref[0] * xs_ref[:]
+        ).astype(out_ref.dtype)
+        return
+    acc_lo = jnp.zeros_like(acc_ref)
+    acc_hi = jnp.zeros_like(acc_ref)
     for p in range(n_groups // 2):
+        if skipdot and p > 0:
+            # DIAGNOSTIC: touch the block (keeps the DMA) without folding
+            # or dotting — measures the pure-DMA ceiling of this pipeline.
+            acc_lo = acc_lo + wp_ref[0, p * group:p * group + 8, :8].astype(
+                jnp.int32
+            ).sum()
+            continue
         p32 = pltpu.bitcast(wp_ref[0, p * group:(p + 1) * group, :], jnp.int32)
         word = m_ref[0, (2 * p) // 8, :].reshape(1, -1)
         m_lo = jnp.bitwise_and(word >> (4 * ((2 * p) % 8)), 0xF)
         m_hi = jnp.bitwise_and(word >> (4 * ((2 * p) % 8) + 4), 0xF)
-        lo = jnp.bitwise_and(p32, 0x0F0F0F0F) * m_lo
-        hi = jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) * m_hi
-        w_lo = pltpu.bitcast((lo + (_B0x80 - m_lo * 0x08080808)) ^ _B0x80, jnp.int8)
-        w_hi = pltpu.bitcast((hi + (_B0x80 - m_hi * 0x08080808)) ^ _B0x80, jnp.int8)
-        acc_ref[:] += jax.lax.dot(
+        if skipfold:  # DIAGNOSTIC: dot raw packed bytes (wrong numerics)
+            w_lo = pltpu.bitcast(p32, jnp.int8)
+            w_hi = pltpu.bitcast(p32 ^ 0x0F0F0F0F, jnp.int8)
+        else:
+            lo = jnp.bitwise_and(p32, 0x0F0F0F0F) * m_lo
+            hi = jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) * m_hi
+            w_lo = pltpu.bitcast((lo + (_B0x80 - m_lo * 0x08080808)) ^ _B0x80, jnp.int8)
+            w_hi = pltpu.bitcast((hi + (_B0x80 - m_hi * 0x08080808)) ^ _B0x80, jnp.int8)
+        acc_lo = acc_lo + jax.lax.dot(
             x_ref[:, 2 * p * group:(2 * p + 1) * group], w_lo,
             preferred_element_type=jnp.int32,
         )
-        acc_ref[:] += jax.lax.dot(
+        acc_hi = acc_hi + jax.lax.dot(
             x_ref[:, (2 * p + 1) * group:(2 * p + 2) * group], w_hi,
             preferred_element_type=jnp.int32,
         )
     out_ref[:] = (
-        acc_ref[:].astype(jnp.float32) * sc_ref[0] * xs_ref[:]
+        (acc_lo + acc_hi).astype(jnp.float32) * sc_ref[0] * xs_ref[:]
     ).astype(out_ref.dtype)
 
 
@@ -873,11 +938,21 @@ def matmul_w4a8_2l_gemv_stacked(
     from fastforward_tpu.kernels.packing import unpack_mult_nibbles
 
     M, K = x_q.shape
-    L, Kh, N = w_packed.shape
+    # Pre-blocked at-rest layout (`preblock_stacked`): (L, N//bn, K//2, bn) —
+    # every grid step's weight block is ONE contiguous HBM chunk instead of
+    # K//2 strided rows of the (L, K//2, N) layout.
+    preblocked = w_packed.ndim == 4
+    if preblocked:
+        L, NB, Kh, bnw = w_packed.shape
+        N = NB * bnw
+    else:
+        L, Kh, N = w_packed.shape
     n_groups = K // group_size
     n_pack = mult.shape[1]
     if not _on_tpu():
         wl = jax.lax.dynamic_index_in_dim(w_packed, layer, keepdims=False)
+        if preblocked:
+            wl = wl.transpose(1, 0, 2).reshape(Kh, N)
         ml = unpack_mult_nibbles(
             jax.lax.dynamic_index_in_dim(mult, layer, keepdims=False), n_groups
         )
@@ -891,7 +966,13 @@ def matmul_w4a8_2l_gemv_stacked(
         x_scale = jnp.pad(x_scale, (0, 8 - M))
     if block_n is None:  # env knob is a default, never an override
         block_n = flags.two_level_block_n()
-    bn = _round_block(block_n, 128, N)
+    bn = bnw if preblocked else _round_block(block_n, 128, N)
+    if preblocked:
+        w_spec = pl.BlockSpec((1, 1, Kh, bn), lambda j, l: (l[0], j, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_spec = pl.BlockSpec((1, Kh, bn), lambda j, l: (l[0], 0, j),
+                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(pl.cdiv(N, bn),),
@@ -900,8 +981,7 @@ def matmul_w4a8_2l_gemv_stacked(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 1), lambda j, l: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Kh, bn), lambda j, l: (l[0], 0, j),
-                         memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((1, n_pack, bn), lambda j, l: (l[0], 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), lambda j, l: (l[0], 0, j),
@@ -911,13 +991,20 @@ def matmul_w4a8_2l_gemv_stacked(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
     )
+    body = functools.partial(
+        _w4a8_2l_gemv_stacked_kernel_dotraw
+        if flags.two_level_dotraw()
+        else _w4a8_2l_gemv_stacked_kernel,
+        n_groups=n_groups, group=group_size,
+    )
+    if preblocked:
+        def kernel(l_ref, x_ref, xs_ref, wp_ref, m_ref, sc_ref, out_ref, acc_ref):
+            body(l_ref, x_ref, xs_ref, wp_ref.at[:, 0], m_ref, sc_ref,
+                 out_ref, acc_ref)
+    else:
+        kernel = body
     out = pl.pallas_call(
-        functools.partial(
-            _w4a8_2l_gemv_stacked_kernel_dotraw
-            if flags.two_level_dotraw()
-            else _w4a8_2l_gemv_stacked_kernel,
-            n_groups=n_groups, group=group_size
-        ),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bm, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -937,6 +1024,22 @@ def matmul_w4a8_2l_gemv_stacked(
       mult,
       s_col.astype(jnp.float32).reshape(L, 1, N))
     return out[:M]
+
+
+def preblock_stacked(w_packed: jax.Array, block_n: int) -> jax.Array:
+    """Reshape stacked packed weights (L, K//2, N) → (L, N//bn, K//2, bn).
+
+    The GEMV grid walks N panels; in the (L, K//2, N) layout each panel
+    block is K//2 strided rows, in this layout it is one contiguous chunk —
+    the DMA-structure experiment behind `matmul_w4a8_2l_gemv_stacked`'s
+    4-D path. Requires N % block_n == 0.
+    """
+    L, Kh, N = w_packed.shape
+    if N % block_n:
+        raise ValueError(f"N={N} not divisible by block_n={block_n}")
+    return jnp.transpose(
+        w_packed.reshape(L, Kh, N // block_n, block_n), (0, 2, 1, 3)
+    )
 
 
 # =============================================================================
@@ -1229,3 +1332,284 @@ def quantize_rowwise(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     scale = jnp.maximum(amax / 127.0, 1e-8)
     x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -128, 127)
     return x_q.astype(jnp.int8), scale
+
+
+# =============================================================================
+# Fused layer tail: o_proj + residual + norm + gate/up + SiLU + down + residual
+# in ONE pallas_call (decode shape, stacked two-level W4A8 paired weights)
+# =============================================================================
+#
+# Motivation (measured, docs/performance.md round 2): the decode layer body
+# issues 4 separate GEMV pallas_calls with XLA glue between them; isolated
+# single-call loops show a large per-call serial latency (qkv-only loop 178
+# GB/s vs 481 for the full mix) — the DMA pipeline drains and the launch
+# latency is paid at every boundary. Fusing the three post-attention
+# matmuls into one grid keeps the weight stream running continuously and
+# moves the norm/SiLU/requant glue into VPU work between phases.
+
+
+def _pair_dot_acc(x_get, wp_block, m_row_get, n_pairs, group, acc):
+    """Shared SWAR fold + dot loop over K pairs.
+
+    x_get(k0, k1) → (bm, group) int8 activation slice;
+    wp_block[rows, :] → packed weight rows; m_row_get(word_idx) → (1, bn)
+    int32 packed-multiplier row. Returns the updated (bm, bn) int32 acc.
+    """
+    for p in range(n_pairs):
+        p32 = pltpu.bitcast(wp_block[p * group:(p + 1) * group, :], jnp.int32)
+        word = m_row_get((2 * p) // 8)
+        m_lo = jnp.bitwise_and(word >> (4 * ((2 * p) % 8)), 0xF)
+        m_hi = jnp.bitwise_and(word >> (4 * ((2 * p) % 8) + 4), 0xF)
+        lo = jnp.bitwise_and(p32, 0x0F0F0F0F) * m_lo
+        hi = jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) * m_hi
+        w_lo = pltpu.bitcast((lo + (_B0x80 - m_lo * 0x08080808)) ^ _B0x80, jnp.int8)
+        w_hi = pltpu.bitcast((hi + (_B0x80 - m_hi * 0x08080808)) ^ _B0x80, jnp.int8)
+        acc = acc + jax.lax.dot(
+            x_get(2 * p * group, (2 * p + 1) * group), w_lo,
+            preferred_element_type=jnp.int32,
+        )
+        acc = acc + jax.lax.dot(
+            x_get((2 * p + 1) * group, (2 * p + 2) * group), w_hi,
+            preferred_element_type=jnp.int32,
+        )
+    return acc
+
+
+def _rowwise_quant_int8(x_f32):
+    """In-kernel dynamic symmetric int8 row quantization (match
+    `quantize_rowwise`: clip [-128, 127], scale = amax/127)."""
+    amax = jnp.max(jnp.abs(x_f32), axis=1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x_f32 / scale), -128, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _fused_o_mlp_kernel(
+    l_ref,
+    xq_ref,     # (bm, K1) int8 — quantized attention output
+    xs_ref,     # (bm, 1) f32
+    res_ref,    # (bm, H) f32 — residual (pre-attention x)
+    nw_ref,     # (1, H) f32 — post-attention norm weight (layer-sliced)
+    ow_ref, om_ref, os_ref,     # o_proj blocks
+    gw_ref, gm_ref, gs_ref,     # gateup blocks
+    dw_ref, dm_ref, ds_ref,     # down blocks
+    out_ref,    # (bm, bn) f32 — layer output block (dn phase)
+    x1_ref,     # scratch (bm, H) f32 — x + o_out
+    hq_ref,     # scratch (bm, H) int8 — quantized normed hidden
+    hs_ref,     # scratch (bm, 128) f32 — its row scale
+    gu_ref,     # scratch (bm, N_GU) f32 — gateup output
+    x2_ref,     # scratch (bm, INTER) int8 — quantized gated activation
+    x2s_ref,    # scratch (bm, 128) f32
+    *,
+    n_o: int, n_gu: int, n_dn: int,
+    g1: int, g2: int, group: int, bn: int, eps: float,
+):
+    j = pl.program_id(0)
+
+    @pl.when(j < n_o)
+    def _o_phase():
+        acc = jnp.zeros((xq_ref.shape[0], bn), jnp.int32)
+        acc = _pair_dot_acc(
+            lambda a, b: xq_ref[:, a:b], ow_ref.at[0],
+            lambda w: om_ref[0, w, :].reshape(1, -1), g1 // 2, group, acc,
+        )
+        x1_ref[:, j * bn:(j + 1) * bn] = (
+            res_ref[:, j * bn:(j + 1) * bn]
+            + acc.astype(jnp.float32) * os_ref[0] * xs_ref[:]
+        )
+
+    @pl.when(j == n_o)
+    def _norm_boundary():
+        x1 = x1_ref[...]
+        inv = jax.lax.rsqrt(jnp.mean(x1 * x1, axis=1, keepdims=True) + eps)
+        h = x1 * inv * nw_ref[0][None, :]
+        q, s = _rowwise_quant_int8(h)
+        hq_ref[...] = q
+        hs_ref[...] = jnp.broadcast_to(s, hs_ref.shape)
+
+    @pl.when((j >= n_o) & (j < n_o + n_gu))
+    def _gu_phase():
+        jj = j - n_o
+        acc = jnp.zeros((xq_ref.shape[0], bn), jnp.int32)
+        acc = _pair_dot_acc(
+            lambda a, b: hq_ref[:, a:b], gw_ref.at[0],
+            lambda w: gm_ref[0, w, :].reshape(1, -1), g1 // 2, group, acc,
+        )
+        gu_ref[:, jj * bn:(jj + 1) * bn] = (
+            acc.astype(jnp.float32) * gs_ref[0] * hs_ref[:, :1]
+        )
+
+    @pl.when(j == n_o + n_gu)
+    def _silu_boundary():
+        inter = x2_ref.shape[1]
+        gate = gu_ref[:, :inter]
+        up = gu_ref[:, inter:]
+        gated = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
+        q, s = _rowwise_quant_int8(gated)
+        x2_ref[...] = q
+        x2s_ref[...] = jnp.broadcast_to(s, x2s_ref.shape)
+
+    @pl.when(j >= n_o + n_gu)
+    def _dn_phase():
+        jj = j - n_o - n_gu
+        acc = jnp.zeros((xq_ref.shape[0], bn), jnp.int32)
+        acc = _pair_dot_acc(
+            lambda a, b: x2_ref[:, a:b], dw_ref.at[0],
+            lambda w: dm_ref[0, w, :].reshape(1, -1), g2 // 2, group, acc,
+        )
+        out_ref[...] = (
+            x1_ref[:, jj * bn:(jj + 1) * bn]
+            + acc.astype(jnp.float32) * ds_ref[0] * x2s_ref[:, :1]
+        )
+
+
+def fused_o_mlp_reference(
+    attn, x_res, norm_w,
+    o_w, o_m, o_s, gu_w, gu_m, gu_s, dn_w, dn_m, dn_s,
+    group_size=128, eps=1e-5,
+):
+    """XLA oracle for the fused layer tail (per-layer, unstacked operands).
+
+    Exactly the fused kernel's math: f32 residual chain, dynamic int8
+    activation quantization at each matmul input, two-level W4A8 matmuls.
+    """
+    from fastforward_tpu.kernels.matmul import matmul_w4a8_2l_reference
+
+    x_q, x_s = quantize_rowwise(attn)
+    o_out = matmul_w4a8_2l_reference(
+        x_q, x_s, o_w, o_m, o_s, None, group_size, jnp.float32, paired=True
+    )
+    x1 = x_res.astype(jnp.float32) + o_out
+    inv = jax.lax.rsqrt(jnp.mean(x1 * x1, axis=1, keepdims=True) + eps)
+    h = x1 * inv * norm_w[None, :].astype(jnp.float32)
+    h_q, h_s = quantize_rowwise(h)
+    gu = matmul_w4a8_2l_reference(
+        h_q, h_s, gu_w, gu_m, gu_s, None, group_size, jnp.float32, paired=True
+    )
+    inter = gu.shape[1] // 2
+    gate, up = gu[:, :inter], gu[:, inter:]
+    gated = gate * jax.nn.sigmoid(gate) * up
+    g_q, g_s = quantize_rowwise(gated)
+    dn = matmul_w4a8_2l_reference(
+        g_q, g_s, dn_w, dn_m, dn_s, None, group_size, jnp.float32, paired=True
+    )
+    return x1 + dn
+
+
+def fused_o_mlp_stacked(
+    attn: jax.Array,       # (M, K1) bf16/f32 — attention output
+    x_res: jax.Array,      # (M, H) — residual input
+    norm_w: jax.Array,     # (L, H) — stacked post-attention norm weights
+    o_w, o_mp, o_sc,       # stacked two-level o_proj (paired, packed mult)
+    gu_w, gu_mp, gu_sc,    # stacked gateup
+    dn_w, dn_mp, dn_sc,    # stacked down
+    layer: jax.Array,
+    group_size: int = 128,
+    eps: float = 1e-5,
+    block_n: Optional[int] = None,
+) -> jax.Array:
+    """One-pallas_call layer tail: y = x1 + down(silu-mlp(rmsnorm(x1)))
+    with x1 = x_res + o_proj(attn); all three matmuls stream their stacked
+    two-level W4A8 weights through a single continuous grid.
+
+    Requires the paired layout with nibble-packed multipliers and
+    H % bn == 0, 2*inter % bn == 0. Single-shard only (the o_proj partial
+    sum is consumed in-kernel — incompatible with row-parallel TP psum);
+    the TP path keeps the unfused calls.
+    """
+    from fastforward_tpu.kernels.packing import unpack_mult_nibbles
+
+    M, K1 = attn.shape
+    L, _, H = o_w.shape
+    N_GU = gu_w.shape[2]
+    K2h = dn_w.shape[1]
+    K2 = K2h * 2
+    inter = N_GU // 2
+    g1 = K1 // group_size
+    g2 = K2 // group_size
+
+    if not _on_tpu():
+        idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, keepdims=False)
+        return fused_o_mlp_reference(
+            attn.astype(jnp.float32), x_res.astype(jnp.float32), idx(norm_w),
+            idx(o_w), unpack_mult_nibbles(idx(o_mp), g1), idx(o_sc),
+            idx(gu_w), unpack_mult_nibbles(idx(gu_mp), g1), idx(gu_sc),
+            idx(dn_w), unpack_mult_nibbles(idx(dn_mp), g2), idx(dn_sc),
+            group_size, eps,
+        ).astype(attn.dtype)
+
+    bm = max(8, M)
+    if M < 8:
+        attn = jnp.pad(attn, ((0, 8 - M), (0, 0)))
+        x_res = jnp.pad(x_res, ((0, 8 - M), (0, 0)))
+    if block_n is None:
+        block_n = flags.two_level_block_n()
+    bn = _round_block(block_n, 128, min(H, N_GU))
+    assert H % bn == 0 and N_GU % bn == 0, (H, N_GU, bn)
+    n_o, n_gu, n_dn = H // bn, N_GU // bn, H // bn
+
+    x_q, x_s = quantize_rowwise(attn.reshape(bm, K1))
+
+    def _o_idx(j, l):
+        return (l[0], 0, jnp.minimum(j, n_o - 1))
+
+    def _gu_idx(j, l):
+        return (l[0], 0, jnp.clip(j - n_o, 0, n_gu - 1))
+
+    def _dn_idx(j, l):
+        return (l[0], 0, jnp.clip(j - n_o - n_gu, 0, n_dn - 1))
+
+    p1 = o_mp.shape[1]
+    p2 = dn_mp.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_o + n_gu + n_dn,),
+        in_specs=[
+            pl.BlockSpec((bm, K1), lambda j, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda j, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, H), lambda j, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda j, l: (l[0], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K1 // 2, bn), _o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p1, bn), _o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), _o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K1 // 2, bn), _gu_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p1, bn), _gu_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), _gu_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K2h, bn), _dn_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p2, bn), _dn_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), _dn_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda j, l: (0, jnp.clip(j - n_o - n_gu, 0, n_dn - 1)),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bm, H), jnp.float32),      # x1
+            pltpu.VMEM((bm, K1), jnp.int8),        # hq  (H == K1)
+            pltpu.VMEM((bm, 128), jnp.float32),    # hs
+            pltpu.VMEM((bm, N_GU), jnp.float32),   # gu out
+            pltpu.VMEM((bm, inter), jnp.int8),     # x2
+            pltpu.VMEM((bm, 128), jnp.float32),    # x2s
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_o_mlp_kernel,
+            n_o=n_o, n_gu=n_gu, n_dn=n_dn, g1=g1, g2=g2,
+            group=group_size, bn=bn, eps=eps,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bm, H), jnp.float32),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * (K1 * H + K1 * N_GU + K2 * H),
+            bytes_accessed=(K1 * H + K1 * N_GU + K2 * H) // 2 + bm * (K1 + 3 * H),
+            transcendentals=bm * inter,
+        ),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32),
+      x_q, x_s.reshape(bm, 1).astype(jnp.float32),
+      x_res.astype(jnp.float32), norm_w.astype(jnp.float32),
+      o_w, o_mp, o_sc.astype(jnp.float32).reshape(L, 1, H),
+      gu_w, gu_mp, gu_sc.astype(jnp.float32).reshape(L, 1, N_GU),
+      dn_w, dn_mp, dn_sc.astype(jnp.float32).reshape(L, 1, H))
+    return out[:M].astype(attn.dtype)

@@ -67,6 +67,17 @@ class QuantLinear:
     # 8 groups per int32 (`pack_mult_nibbles`) for the layer-indexed decode
     # GEMV. `mult` itself is kept for the prefill dequant path.
     mult_packed: Optional[jax.Array] = None
+    # Static-A8 mode: calibrated per-tensor input scale (scalar f32; (L,)
+    # when stacked). When set, int8-activation modes quantize the input on
+    # this fixed grid instead of dynamic per-row amax — carrying the
+    # sim-tier input LinearQuantizer's calibration into execution
+    # (VERDICT round-1 item 6; reference `nn/linear.py:20-39` pattern).
+    in_scale: Optional[jax.Array] = None
+
+    def _quantize_input(self, x2: jax.Array):
+        if self.in_scale is not None:
+            return quantize_static(x2, self.in_scale)
+        return quantize_rowwise(x2)
 
     def __call__(self, x: jax.Array, out_dtype=jnp.bfloat16) -> jax.Array:
         """Apply y = x @ W with the mode's kernel. x: (..., K)."""
@@ -74,16 +85,16 @@ class QuantLinear:
         K = x.shape[-1]
         x2 = x.reshape(-1, K)
         if self.mode == "w8a8":
-            x_q, x_s = quantize_rowwise(x2)
+            x_q, x_s = self._quantize_input(x2)
             out = matmul_w8a8(x_q, x_s, self.data, self.scale, out_dtype=out_dtype)
         elif self.mode == "w4a8":
-            x_q, x_s = quantize_rowwise(x2)
+            x_q, x_s = self._quantize_input(x2)
             out = matmul_w4a8(
                 x_q, x_s, self.data, self.scale,
                 group_size=self.group_size, out_dtype=out_dtype,
             )
         elif self.mode == "w4a8_2l":
-            x_q, x_s = quantize_rowwise(x2)
+            x_q, x_s = self._quantize_input(x2)
             if x2.shape[0] <= _GEMV_MAX_M or not _on_tpu():
                 out = matmul_w4a8_2l_gemv(
                     x_q, x_s, self.data, self.mult, self.scale,
@@ -141,6 +152,15 @@ class QuantLinear:
         lead = x.shape[:-1]
         K = x.shape[-1]
         x2 = x.reshape(-1, K)
+
+        def quant_in(x2):
+            if self.in_scale is not None:
+                sc = self.in_scale
+                if sc.ndim >= 1 and sc.shape[0] == self.data.shape[0]:
+                    sc = jax.lax.dynamic_index_in_dim(sc, layer, keepdims=False)
+                return quantize_static(x2, sc)
+            return quantize_rowwise(x2)
+
         if (
             self.mode == "w4a8_2l"
             and self.paired
@@ -148,7 +168,7 @@ class QuantLinear:
             and x2.shape[0] <= _GEMV_MAX_M
             and _on_tpu()
         ):
-            x_q, x_s = quantize_rowwise(x2)
+            x_q, x_s = quant_in(x2)
             out = matmul_w4a8_2l_gemv_stacked(
                 x_q, x_s, self.data, self.mult_packed, self.scale, layer,
                 group_size=self.group_size, out_dtype=out_dtype,
@@ -169,7 +189,7 @@ class QuantLinear:
                 dequantize_int4_paired_stacked,
             )
 
-            x_q, x_s = quantize_rowwise(x2)
+            x_q, x_s = quant_in(x2)
             w = dequantize_int4_paired_stacked(
                 self.data, self.mult, self.scale, layer,
                 group_size=self.group_size,
@@ -178,13 +198,29 @@ class QuantLinear:
             out = jax.lax.dot(xb, w, preferred_element_type=jnp.float32)
             return out.astype(out_dtype).reshape(*lead, -1)
         idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, keepdims=False)
+        in_scale = self.in_scale
+        if in_scale is not None and in_scale.ndim >= 1 \
+                and in_scale.shape[0] == self.data.shape[0]:
+            in_scale = idx(in_scale)
         sliced = QuantLinear(
             idx(self.data), idx(self.scale), mode=self.mode,
             group_size=self.group_size,
             mult=None if self.mult is None else idx(self.mult),
             paired=self.paired,
+            in_scale=in_scale,
         )
         return sliced(x, out_dtype=out_dtype)
+
+
+def quantize_static(x2: jax.Array, scale: jax.Array):
+    """Static symmetric int8 activation quantization on a calibrated
+    per-tensor grid: returns (x_q int8, per-row scale) — the same contract
+    as `quantize_rowwise` so the matmul kernels are agnostic to the mode."""
+    sc = jnp.asarray(scale, jnp.float32).reshape(())
+    x_q = jnp.clip(
+        jnp.round(x2.astype(jnp.float32) / sc), -127, 127
+    ).astype(jnp.int8)
+    return x_q, jnp.broadcast_to(sc, (x2.shape[0],))
 
 
 def quantize_linear(
@@ -255,6 +291,22 @@ def _scale_from_quantizer(module, w_shape, mode: str, group_size: int):
     return None
 
 
+def _input_scale_from_quantizer(module):
+    """Calibrated static activation scale from an initialized symmetric
+    per-tensor 8-bit input LinearQuantizer on ``module`` (else None)."""
+    from fastforward_tpu.nn.linear_quantizer import LinearQuantizer
+    from fastforward_tpu.quantization.granularity import PerTensor
+
+    q = getattr(module, "input_quantizer", None)
+    if not isinstance(q, LinearQuantizer) or q.scale is None:
+        return None
+    if q.offset is not None or q.num_bits != 8:
+        return None
+    if not isinstance(q.granularity, PerTensor):
+        return None
+    return jnp.asarray(q.scale.value, jnp.float32).reshape(())
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ServingLayer:
@@ -278,7 +330,8 @@ class ServingParams:
     lm_head: Optional[QuantLinear]  # None => tied embeddings
 
 
-def freeze_llama(model, mode: str = "w4a8", group_size: int = 128) -> ServingParams:
+def freeze_llama(model, mode: str = "w4a8", group_size: int = 128,
+                 static_activations: bool = False) -> ServingParams:
     """Convert an (NNX) LlamaForCausalLM into frozen serving params.
 
     When the model was calibrated/GPTQ'd in the simulation tier (its
@@ -286,12 +339,24 @@ def freeze_llama(model, mode: str = "w4a8", group_size: int = 128) -> ServingPar
     granularity), those exact scales carry over — the analog of
     `quantization/freeze.py` but into true low-bit storage, guaranteeing the
     execution tier reproduces the simulated grid bit-for-bit.
+
+    ``static_activations``: additionally lift calibrated *input* quantizer
+    ranges (symmetric per-tensor 8-bit LinearQuantizers, i.e. the ranges
+    `estimate_ranges` produced) into `QuantLinear.in_scale` — activations
+    then quantize on the sim-calibrated static grid instead of dynamic
+    per-token amax. Layers whose input quantizer is absent/uninitialized
+    stay dynamic.
     """
 
     def ql(module):
         w = module.kernel.value
         scale = _scale_from_quantizer(module, w.shape, mode, group_size)
-        return quantize_linear(w, mode, group_size, scale=scale)
+        out = quantize_linear(w, mode, group_size, scale=scale)
+        if static_activations:
+            in_scale = _input_scale_from_quantizer(module)
+            if in_scale is not None:
+                out = dataclasses.replace(out, in_scale=in_scale)
+        return out
 
     layers = []
     for block in model.layers:

@@ -100,9 +100,16 @@ def _concat_ql(qls, axis_name="N"):
     if first.mult is not None:
         mult = jnp.concatenate([q.mult for q in qls], axis=-1)
     assert all(q.paired == first.paired for q in qls)
+    # Fused projections share one input, so their static input scales are
+    # the same calibration; keep the most conservative (largest) grid.
+    in_scale = None
+    if all(q.in_scale is not None for q in qls):
+        in_scale = functools.reduce(
+            jnp.maximum, [q.in_scale for q in qls]
+        )
     return QuantLinear(
         data, scale, mode=first.mode, group_size=first.group_size, mult=mult,
-        paired=first.paired,
+        paired=first.paired, in_scale=in_scale,
     )
 
 
@@ -422,13 +429,39 @@ def serving_forward_stacked(
                     attn = flash_decode_int8(
                         q[:, :, 0, :], kc, ks, vc, vs, lengths=starts + 1
                     )[:, :, None, :]
+                elif (
+                    T > 1 and positions.ndim == 1 and _on_tpu()
+                    and flags.use_flash_prefill() and d % 128 == 0
+                ):
+                    # Blocked flash prefill over the (just-appended) int8
+                    # cache: no (T, S) score materialization, no GQA repeat
+                    # (kernels/attention.py:flash_prefill). Contiguous
+                    # positions only — the auto-generated prefill layout.
+                    from fastforward_tpu.kernels.attention import flash_prefill
+
+                    attn = flash_prefill(q, kc, ks, vc, vs, starts)
+                    use_flash = True
                 else:
                     k_all = (kc.astype(jnp.float32) * ks[..., None]).astype(x.dtype)
                     v_all = (vc.astype(jnp.float32) * vs[..., None]).astype(x.dtype)
             else:
                 kc = jax.vmap(write)(kc, k, starts)
                 vc = jax.vmap(write)(vc, v, starts)
-                k_all, v_all = kc.astype(x.dtype), vc.astype(x.dtype)
+                from fastforward_tpu.kernels.matmul import _on_tpu
+
+                if (
+                    T > 1 and positions.ndim == 1 and _on_tpu()
+                    and flags.use_flash_prefill() and d % 128 == 0
+                ):
+                    from fastforward_tpu.kernels.attention import flash_prefill
+
+                    attn = flash_prefill(
+                        q, kc.astype(x.dtype), None, vc.astype(x.dtype), None,
+                        starts,
+                    )
+                    use_flash = True
+                else:
+                    k_all, v_all = kc.astype(x.dtype), vc.astype(x.dtype)
         else:
             k_all, v_all = k, v
 
@@ -438,6 +471,33 @@ def serving_forward_stacked(
                 v_all = jnp.repeat(v_all, groups, axis=1)
             attn = _attention(q, k_all, v_all, mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * d)
+        fused_tail = (
+            T == 1
+            and tp_axis is None
+            and isinstance(layer, FusedServingLayer)
+            and layer.o_proj.mode == "w4a8_2l"
+            and layer.o_proj.paired
+            and layer.o_proj.mult_packed is not None
+            and layer.o_proj.in_scale is None
+            and flags.fused_layer()
+            and _serving_on_tpu()
+        )
+        if fused_tail:
+            # One-pallas_call layer tail: o_proj + residual + post-norm +
+            # gate/up + SiLU + down + residual — the weight stream never
+            # stops at a call boundary (kernels/matmul.py:fused_o_mlp_stacked;
+            # per-call serial latency measured in docs/performance.md r2).
+            from fastforward_tpu.kernels.matmul import fused_o_mlp_stacked
+
+            o, gu, dn = layer.o_proj, layer.gateup_proj, layer.down_proj
+            x = fused_o_mlp_stacked(
+                attn[:, 0, :], x[:, 0, :], layer.post_norm,
+                o.data, o.mult_packed, o.scale,
+                gu.data, gu.mult_packed, gu.scale,
+                dn.data, dn.mult_packed, dn.scale,
+                l, group_size=o.group_size, eps=eps,
+            )[:, None, :]
+            return x, kc, vc, ks, vs
         o_out = layer.o_proj.call_layer(attn, l)
         if tp_axis is not None:
             o_out = jax.lax.psum(o_out, tp_axis)

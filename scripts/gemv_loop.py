@@ -23,6 +23,7 @@ import numpy as np
 from fastforward_tpu.kernels.matmul import (
     matmul_w4a8_2l_gemv,
     matmul_w4a8_2l_gemv_stacked,
+    preblock_stacked,
 )
 from fastforward_tpu.kernels.packing import pack_mult_nibbles, pack_uint4_offset
 
@@ -31,6 +32,8 @@ STACKED = os.environ.get("GL_STACKED", "1") == "1"
 STEPS = int(os.environ.get("GL_STEPS", "32"))
 BLOCK_N = int(os.environ.get("GL_BLOCK_N", "512"))
 L = int(os.environ.get("GL_LAYERS", "32"))
+PREBLOCK = os.environ.get("GL_PREBLOCK", "0") == "1"
+ONLY = os.environ.get("GL_ONLY", "all")  # all|qkv|gu — per-call-overhead probe
 D, QKV_N, INTER = 4096, 6144, 14336
 G = 128
 
@@ -77,6 +80,12 @@ def step_fn():
         mm = lambda xq, xs, w, m, s: matmul_w4a8_2l_gemv_stacked(
             xq, xs, w, m, s, l, block_n=BLOCK_N
         )
+        if ONLY == "qkv":  # one 12.6 MB call per layer
+            qkv = mm(x_q, x_s, qkv_w, qkv_m, qkv_s)
+            return requant(qkv[:, :D]), None
+        if ONLY == "gu":   # one 58.7 MB call per layer
+            gu = mm(x_q, x_s, gu_w, gu_m, gu_s)
+            return requant(gu[:, :D]), None
         qkv = mm(x_q, x_s, qkv_w, qkv_m, qkv_s)
         a_q, a_s = requant(qkv[:, :D])
         o = mm(a_q, a_s, o_w, o_m, o_s)
@@ -110,7 +119,9 @@ def main():
     weights = make_weights()
     if STACKED:
         weights = tuple(
-            (wp, pack_mult_nibbles(m), sc) for (wp, m, sc) in weights
+            (preblock_stacked(wp, BLOCK_N) if PREBLOCK else wp,
+             pack_mult_nibbles(m), sc)
+            for (wp, m, sc) in weights
         )
     jax.block_until_ready(weights)
     rng = np.random.RandomState(1)
@@ -127,10 +138,11 @@ def main():
         np.asarray(out[0][0])
         best = min(best, time.perf_counter() - t0)
     ms = best / STEPS * 1e3
-    gbs = 3.49 / (ms / 1e3)
+    per_layer = {"all": 109.1, "qkv": 12.6, "gu": 58.7}[ONLY]
+    gbs = per_layer * L / 1e3 / (ms / 1e3)
     print(
         f"batch={B} block_n={BLOCK_N} stacked={int(STACKED)} "
-        f"nofold={os.environ.get('FF_2L_NOFOLD', '0')}: {ms:.2f} ms/step "
+        f"preblock={int(PREBLOCK)} only={ONLY}: {ms:.2f} ms/step "
         f"({gbs:.0f} GB/s effective, roofline 819)"
     )
 

@@ -66,6 +66,21 @@ class PatternRule:
     def matches(self, args: tuple, kwargs: dict) -> bool:
         return self.predicate is None or bool(self.predicate(args, kwargs))
 
+def _log_softmax_adapter(args, kwargs):
+    if "axis" in kwargs:
+        kwargs = dict(kwargs)
+        kwargs["dim"] = kwargs.pop("axis")
+    return args, kwargs
+
+
+def _einsum_adapter(args, kwargs):
+    # >2-operand einsum is not representable as a quantized op — signal the
+    # patched wrapper to run the original (None sentinel).
+    if len(args) > 3:
+        return None
+    return args, kwargs
+
+
 def _softmax_adapter(args, kwargs):
     # jax.nn.softmax(x, axis=-1) → ops.softmax(x, dim=-1)
     if "axis" in kwargs:
@@ -91,9 +106,13 @@ SUBSTITUTABLE = {
     "gelu": ("jax.nn", "gelu", _gelu_adapter),
     "sigmoid": ("jax.nn", "sigmoid", None),
     "softmax": ("jax.nn", "softmax", _softmax_adapter),
+    "log_softmax": ("jax.nn", "log_softmax", _log_softmax_adapter),
     "tanh": ("jax.numpy", "tanh", None),
     "matmul": ("jax.numpy", "matmul", None),
+    "einsum": ("jax.numpy", "einsum", _einsum_adapter),
 }
+
+_AUTO_CLASSES: dict[type, type] = {}
 
 _MODE = ContextVar("autoquant_mode", default=None)  # None | "record" | "apply"
 _SITES = ContextVar("autoquant_sites", default=None)
@@ -139,10 +158,37 @@ class _Patched:
                 # rule matched — run the original unquantized.
                 return self.original(*args, **kwargs)
             if self.adapter is not None:
-                args, kwargs = self.adapter(args, kwargs)
+                adapted = self.adapter(args, kwargs)
+                if adapted is None:  # op form not representable — run raw
+                    return self.original(*args, **kwargs)
+                args, kwargs = adapted
             return op(*args, output_quantizer=quantizer, **kwargs)
         finally:
             _INSIDE.reset(token)
+
+
+def operator_site(op_name: str):
+    """Hook for `QuantizedArray`'s Python-operator dunders (``x + y``,
+    ``x @ y``): inside an autoquant context, operator syntax on a
+    QuantizedArray operand is a call site like any intercepted function —
+    recorded during discovery, given the site's output quantizer in apply
+    mode. Returns (output_quantizer | None, active: bool).
+
+    Reference bar: autoquant rewrites operator syntax via `ExpandAugAssign`/
+    arbitrary-call CST passes (`_autoquant/cst/passes.py:188,703`)."""
+    from fastforward_tpu.ops.optable import IN_QUANTIZED_OP
+
+    mode = _MODE.get()
+    if mode is None or _INSIDE.get() or IN_QUANTIZED_OP.get():
+        return None, False
+    counts = _COUNTS.get()
+    index = counts.get(op_name, 0)
+    counts[op_name] = index + 1
+    site = f"{op_name}_{index}"
+    if mode == "record":
+        _SITES.get().add(site)
+        return None, False
+    return _SITES.get().get(site), True
 
 
 @contextlib.contextmanager
@@ -229,21 +275,30 @@ def autoquantize(
         {site: QuantizerStub("activation/autoquant") for site in sorted(sites)}
     )
 
-    # Rebind __call__ so the substitution context is always active.
+    # Rebind __call__ so the substitution context is always active. The
+    # AutoQuant subclass is cached per original class (idempotent: two
+    # models of one class share it; re-calling on a wrapped model is a
+    # no-op — round-1 review flagged the per-instance subclass churn).
     cls = type(model)
     if not getattr(cls, "_autoquant_call_installed", False):
-        original_call = cls.__call__
+        auto_cls = _AUTO_CLASSES.get(cls)
+        if auto_cls is None:
+            original_call = cls.__call__
 
-        def call_with_substitution(self, *args: Any, **kwargs: Any):
-            if _MODE.get() is not None:
-                return original_call(self, *args, **kwargs)
-            with substitution(self, "apply"):
-                return original_call(self, *args, **kwargs)
+            def call_with_substitution(self, *args: Any, **kwargs: Any):
+                if _MODE.get() is not None:
+                    return original_call(self, *args, **kwargs)
+                with substitution(self, "apply"):
+                    return original_call(self, *args, **kwargs)
 
-        auto_cls = type(
-            f"AutoQuant{cls.__name__}",
-            (cls,),
-            {"__call__": call_with_substitution, "_autoquant_call_installed": True},
-        )
+            auto_cls = type(
+                f"AutoQuant{cls.__name__}",
+                (cls,),
+                {
+                    "__call__": call_with_substitution,
+                    "_autoquant_call_installed": True,
+                },
+            )
+            _AUTO_CLASSES[cls] = auto_cls
         model.__class__ = auto_cls
     return model

@@ -222,3 +222,21 @@ def fused_layer() -> bool:
     """One-pallas_call o+MLP layer tail in the stacked decode loop
     (FF_FUSED_LAYER)."""
     return _env_bool("FF_FUSED_LAYER", False)
+
+
+def two_level_buffers() -> int:
+    """Pipeline buffer count for the stacked GEMV weight operand
+    (FF_2L_BUFFERS, default 2 = plain double buffering)."""
+    return _env_int("FF_2L_BUFFERS", 2)
+
+
+def two_level_lookahead() -> bool:
+    """Enable pipeline lookahead on the stacked GEMV weight operand
+    (FF_2L_LOOKAHEAD)."""
+    return _env_bool("FF_2L_LOOKAHEAD", False)
+
+
+def two_level_split_w() -> bool:
+    """Split the stacked GEMV weight operand into two half-K BlockSpec
+    operands → two concurrent DMA streams (FF_2L_SPLITW)."""
+    return _env_bool("FF_2L_SPLITW", False)

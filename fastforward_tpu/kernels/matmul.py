@@ -909,6 +909,40 @@ def _w4a8_2l_gemv_stacked_kernel_dotraw(
     ).astype(out_ref.dtype)
 
 
+def _w4a8_2l_gemv_stacked_kernel_splitw(
+    l_ref, x_ref, xs_ref, wp1_ref, wp2_ref, m_ref, sc_ref, out_ref, acc_ref,
+    *, n_groups: int, group: int,
+):
+    # Same math as `_w4a8_2l_gemv_stacked_kernel`, but the weight panel
+    # arrives as TWO half-K blocks (disjoint row ranges of the same stacked
+    # array) — two concurrent DMA streams per grid step, probing whether a
+    # single stream is issue-limited.
+    acc = jnp.zeros_like(acc_ref)
+    half_pairs = n_groups // 4
+    for idx, wp in ((0, wp1_ref), (1, wp2_ref)):
+        for q in range(half_pairs):
+            p = idx * half_pairs + q
+            p32 = pltpu.bitcast(wp[0, q * group:(q + 1) * group, :], jnp.int32)
+            word = m_ref[0, (2 * p) // 8, :].reshape(1, -1)
+            m_lo = jnp.bitwise_and(word >> (4 * ((2 * p) % 8)), 0xF)
+            m_hi = jnp.bitwise_and(word >> (4 * ((2 * p) % 8) + 4), 0xF)
+            lo = jnp.bitwise_and(p32, 0x0F0F0F0F) * m_lo
+            hi = jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) * m_hi
+            w_lo = pltpu.bitcast((lo + (_B0x80 - m_lo * 0x08080808)) ^ _B0x80, jnp.int8)
+            w_hi = pltpu.bitcast((hi + (_B0x80 - m_hi * 0x08080808)) ^ _B0x80, jnp.int8)
+            acc = acc + jax.lax.dot(
+                x_ref[:, 2 * p * group:(2 * p + 1) * group], w_lo,
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc + jax.lax.dot(
+                x_ref[:, (2 * p + 1) * group:(2 * p + 2) * group], w_hi,
+                preferred_element_type=jnp.int32,
+            )
+    out_ref[:] = (
+        acc.astype(jnp.float32) * sc_ref[0] * xs_ref[:]
+    ).astype(out_ref.dtype)
+
+
 def matmul_w4a8_2l_gemv_stacked(
     x_q: jax.Array,
     x_scale: jax.Array,
@@ -967,12 +1001,19 @@ def matmul_w4a8_2l_gemv_stacked(
     if block_n is None:  # env knob is a default, never an override
         block_n = flags.two_level_block_n()
     bn = bnw if preblocked else _round_block(block_n, 128, N)
+    nbuf = flags.two_level_buffers()
+    # cap buffers so the weight operand stays within ~8 MB of VMEM
+    nbuf = max(2, min(nbuf, (8 << 20) // max(1, Kh * bn)))
+    pipe = (
+        pl.Buffered(buffer_count=nbuf, use_lookahead=flags.two_level_lookahead())
+        if (nbuf > 2 or flags.two_level_lookahead()) else None
+    )
     if preblocked:
         w_spec = pl.BlockSpec((1, 1, Kh, bn), lambda j, l: (l[0], j, 0, 0),
-                              memory_space=pltpu.VMEM)
+                              memory_space=pltpu.VMEM, pipeline_mode=pipe)
     else:
         w_spec = pl.BlockSpec((1, Kh, bn), lambda j, l: (l[0], 0, j),
-                              memory_space=pltpu.VMEM)
+                              memory_space=pltpu.VMEM, pipeline_mode=pipe)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(pl.cdiv(N, bn),),
@@ -991,6 +1032,52 @@ def matmul_w4a8_2l_gemv_stacked(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
     )
+    splitw = (
+        flags.two_level_split_w() and not preblocked
+        and n_groups % 4 == 0 and Kh % 2 == 0
+    )
+    if splitw:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(pl.cdiv(N, bn),),
+            in_specs=[
+                pl.BlockSpec((bm, K), lambda j, l: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda j, l: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Kh // 2, bn), lambda j, l: (l[0], 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Kh // 2, bn), lambda j, l: (l[0], 1, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pack, bn), lambda j, l: (l[0], 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bn), lambda j, l: (l[0], 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda j, l: (0, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _w4a8_2l_gemv_stacked_kernel_splitw,
+                n_groups=n_groups, group=group_size,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bm, N), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * bm * N * K,
+                bytes_accessed=K * N // 2 + bm * K + bm * N * 2,
+                transcendentals=0,
+            ),
+        )(jnp.reshape(layer, (1,)).astype(jnp.int32),
+          x_q, x_scale.reshape(bm, 1).astype(jnp.float32),
+          w_packed, w_packed, mult,
+          s_col.astype(jnp.float32).reshape(L, 1, N))
+        return out[:M]
     body = functools.partial(
         _w4a8_2l_gemv_stacked_kernel_dotraw
         if flags.two_level_dotraw()
@@ -1388,78 +1475,91 @@ def _fused_o_mlp_kernel(
     l_ref,
     xq_ref,     # (bm, K1) int8 — quantized attention output
     xs_ref,     # (bm, 1) f32
-    res_ref,    # (bm, H) f32 — residual (pre-attention x)
-    nw_ref,     # (1, H) f32 — post-attention norm weight (layer-sliced)
+    res_ref,    # (n_o, bm, bn) f32 — residual, block-major
+    nw_ref,     # (1, n_o, 1, bn) f32 — post-attn norm weight (layer block)
     ow_ref, om_ref, os_ref,     # o_proj blocks
     gw_ref, gm_ref, gs_ref,     # gateup blocks
     dw_ref, dm_ref, ds_ref,     # down blocks
     out_ref,    # (bm, bn) f32 — layer output block (dn phase)
-    x1_ref,     # scratch (bm, H) f32 — x + o_out
-    hq_ref,     # scratch (bm, H) int8 — quantized normed hidden
+    x1_ref,     # scratch (n_o, bm, bn) f32 — x + o_out, block-major
+    hq_ref,     # scratch (n_o, bm, bn) int8 — quantized normed hidden
     hs_ref,     # scratch (bm, 128) f32 — its row scale
-    gu_ref,     # scratch (bm, N_GU) f32 — gateup output
-    x2_ref,     # scratch (bm, INTER) int8 — quantized gated activation
+    gu_ref,     # scratch (n_gu, bm, bn) bf16 — gateup output, block-major
+    x2_ref,     # scratch (n_gu//2, bm, bn) int8 — quantized gated act
     x2s_ref,    # scratch (bm, 128) f32
     *,
     n_o: int, n_gu: int, n_dn: int,
     g1: int, g2: int, group: int, bn: int, eps: float,
 ):
+    # Scratch activations are BLOCK-MAJOR (blocks, bm, bn): Mosaic has no
+    # dynamic lane slices, but dynamic indexing on an untiled leading dim
+    # is fine — each phase writes x[j] and the K-slices the next phase's
+    # dots read are static (group divides bn).
     j = pl.program_id(0)
+    bm = xq_ref.shape[0]
+
+    def k_slice(ref, a):
+        # static K window [a, a+group) of a block-major activation scratch
+        return ref[a // bn, :, a % bn:a % bn + group]
 
     @pl.when(j < n_o)
     def _o_phase():
-        acc = jnp.zeros((xq_ref.shape[0], bn), jnp.int32)
+        acc = jnp.zeros((bm, bn), jnp.int32)
         acc = _pair_dot_acc(
             lambda a, b: xq_ref[:, a:b], ow_ref.at[0],
             lambda w: om_ref[0, w, :].reshape(1, -1), g1 // 2, group, acc,
         )
-        x1_ref[:, j * bn:(j + 1) * bn] = (
-            res_ref[:, j * bn:(j + 1) * bn]
-            + acc.astype(jnp.float32) * os_ref[0] * xs_ref[:]
-        )
+        x1_ref[j] = res_ref[j] + acc.astype(jnp.float32) * os_ref[0] * xs_ref[:]
 
     @pl.when(j == n_o)
     def _norm_boundary():
-        x1 = x1_ref[...]
-        inv = jax.lax.rsqrt(jnp.mean(x1 * x1, axis=1, keepdims=True) + eps)
-        h = x1 * inv * nw_ref[0][None, :]
-        q, s = _rowwise_quant_int8(h)
-        hq_ref[...] = q
-        hs_ref[...] = jnp.broadcast_to(s, hs_ref.shape)
+        x1 = x1_ref[...]                                   # (n_o, bm, bn)
+        # all intermediates stay >=2-D (Mosaic cannot relayout 1-D vectors)
+        ssum = jnp.sum(jnp.sum(x1 * x1, axis=2, keepdims=True), axis=0,
+                       keepdims=True)                      # (1, bm, 1)
+        inv = jax.lax.rsqrt(ssum / (n_o * bn) + eps)
+        h = x1 * inv * nw_ref[0]
+        amax = jnp.max(jnp.max(jnp.abs(h), axis=2, keepdims=True), axis=0,
+                       keepdims=True)
+        s = jnp.maximum(amax / 127.0, 1e-8)
+        hq_ref[...] = jnp.clip(jnp.round(h / s), -128, 127).astype(jnp.int8)
+        hs_ref[...] = jnp.broadcast_to(s[0], hs_ref.shape)
 
     @pl.when((j >= n_o) & (j < n_o + n_gu))
     def _gu_phase():
-        jj = j - n_o
-        acc = jnp.zeros((xq_ref.shape[0], bn), jnp.int32)
+        acc = jnp.zeros((bm, bn), jnp.int32)
         acc = _pair_dot_acc(
-            lambda a, b: hq_ref[:, a:b], gw_ref.at[0],
+            lambda a, b: k_slice(hq_ref, a), gw_ref.at[0],
             lambda w: gm_ref[0, w, :].reshape(1, -1), g1 // 2, group, acc,
         )
-        gu_ref[:, jj * bn:(jj + 1) * bn] = (
+        gu_ref[j - n_o] = (
             acc.astype(jnp.float32) * gs_ref[0] * hs_ref[:, :1]
-        )
+        ).astype(jnp.bfloat16)
 
     @pl.when(j == n_o + n_gu)
     def _silu_boundary():
-        inter = x2_ref.shape[1]
-        gate = gu_ref[:, :inter]
-        up = gu_ref[:, inter:]
+        half = n_gu // 2
+        gate = gu_ref[0:half].astype(jnp.float32)          # (half, bm, bn)
+        up = gu_ref[half:n_gu].astype(jnp.float32)
         gated = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
-        q, s = _rowwise_quant_int8(gated)
-        x2_ref[...] = q
-        x2s_ref[...] = jnp.broadcast_to(s, x2s_ref.shape)
+        amax = jnp.max(jnp.max(jnp.abs(gated), axis=2, keepdims=True), axis=0,
+                       keepdims=True)
+        s = jnp.maximum(amax / 127.0, 1e-8)
+        x2_ref[...] = jnp.clip(
+            jnp.round(gated / s), -128, 127
+        ).astype(jnp.int8)
+        x2s_ref[...] = jnp.broadcast_to(s[0], x2s_ref.shape)
 
     @pl.when(j >= n_o + n_gu)
     def _dn_phase():
         jj = j - n_o - n_gu
-        acc = jnp.zeros((xq_ref.shape[0], bn), jnp.int32)
+        acc = jnp.zeros((bm, bn), jnp.int32)
         acc = _pair_dot_acc(
-            lambda a, b: x2_ref[:, a:b], dw_ref.at[0],
+            lambda a, b: k_slice(x2_ref, a), dw_ref.at[0],
             lambda w: dm_ref[0, w, :].reshape(1, -1), g2 // 2, group, acc,
         )
         out_ref[...] = (
-            x1_ref[:, jj * bn:(jj + 1) * bn]
-            + acc.astype(jnp.float32) * ds_ref[0] * x2s_ref[:, :1]
+            x1_ref[jj] + acc.astype(jnp.float32) * ds_ref[0] * x2s_ref[:, :1]
         )
 
 
@@ -1486,6 +1586,8 @@ def fused_o_mlp_reference(
     gu = matmul_w4a8_2l_reference(
         h_q, h_s, gu_w, gu_m, gu_s, None, group_size, jnp.float32, paired=True
     )
+    # the kernel stages the gate/up output through bf16 scratch (VMEM)
+    gu = gu.astype(jnp.bfloat16).astype(jnp.float32)
     inter = gu.shape[1] // 2
     gate, up = gu[:, :inter], gu[:, inter:]
     gated = gate * jax.nn.sigmoid(gate) * up
@@ -1561,14 +1663,22 @@ def fused_o_mlp_stacked(
 
     p1 = o_mp.shape[1]
     p2 = dn_mp.shape[1]
+    # Block-major activations for the kernel (see kernel docstring): the
+    # residual and norm weights are rearranged outside (tiny XLA transposes).
+    res_blocked = (
+        x_res.astype(jnp.float32).reshape(bm, n_o, bn).transpose(1, 0, 2)
+    )
+    nw_blocked = norm_w.astype(jnp.float32).reshape(L, n_o, 1, bn)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_o + n_gu + n_dn,),
         in_specs=[
             pl.BlockSpec((bm, K1), lambda j, l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 1), lambda j, l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, H), lambda j, l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda j, l: (l[0], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_o, bm, bn), lambda j, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_o, 1, bn), lambda j, l: (l[0], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K1 // 2, bn), _o_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p1, bn), _o_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), _o_idx, memory_space=pltpu.VMEM),
@@ -1584,12 +1694,12 @@ def fused_o_mlp_stacked(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((bm, H), jnp.float32),      # x1
-            pltpu.VMEM((bm, K1), jnp.int8),        # hq  (H == K1)
-            pltpu.VMEM((bm, 128), jnp.float32),    # hs
-            pltpu.VMEM((bm, N_GU), jnp.float32),   # gu out
-            pltpu.VMEM((bm, inter), jnp.int8),     # x2
-            pltpu.VMEM((bm, 128), jnp.float32),    # x2s
+            pltpu.VMEM((n_o, bm, bn), jnp.float32),        # x1
+            pltpu.VMEM((n_o, bm, bn), jnp.int8),           # hq (H == K1)
+            pltpu.VMEM((bm, 128), jnp.float32),            # hs
+            pltpu.VMEM((n_gu, bm, bn), jnp.bfloat16),      # gu out
+            pltpu.VMEM((n_gu // 2, bm, bn), jnp.int8),     # x2
+            pltpu.VMEM((bm, 128), jnp.float32),            # x2s
         ],
     )
     out = pl.pallas_call(
@@ -1608,7 +1718,7 @@ def fused_o_mlp_stacked(
         ),
     )(jnp.reshape(layer, (1,)).astype(jnp.int32),
       x_q, x_s.reshape(bm, 1).astype(jnp.float32),
-      x_res.astype(jnp.float32), norm_w.astype(jnp.float32),
+      res_blocked, nw_blocked,
       o_w, o_mp, o_sc.astype(jnp.float32).reshape(L, 1, H),
       gu_w, gu_mp, gu_sc.astype(jnp.float32).reshape(L, 1, N_GU),
       dn_w, dn_mp, dn_sc.astype(jnp.float32).reshape(L, 1, H))

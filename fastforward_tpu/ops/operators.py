@@ -56,6 +56,23 @@ def bmm(input: Array, mat2: Array) -> Array:
     return jnp.matmul(input, mat2)
 
 
+@quantized_op(quantized=("input",), aliases=("jnp.einsum", "jax.numpy.einsum"))
+def einsum(equation: str, input: Array, other: Optional[Array] = None) -> Array:
+    """General 1-/2-operand einsum (the overwhelmingly common forms in
+    model code; >2 operands fall back to `jnp.einsum` unquantized via the
+    caller). Reference parity: arbitrary-call rewriting covers einsum
+    (`_autoquant/cst/passes.py:703`)."""
+    if other is None:
+        return jnp.einsum(equation, input)
+    return jnp.einsum(equation, input, other)
+
+
+@quantized_op(quantized=("input",), aliases=("jax.nn.log_softmax",))
+def log_softmax(input: Array, dim: int = -1, dtype: Any = None) -> Array:
+    x = input.astype(dtype) if dtype is not None else input
+    return jax.nn.log_softmax(x, axis=dim)
+
+
 @quantized_op(quantized=("input", "weight"), maybe_quantized=("bias",))
 def einsum_linear(equation: str, input: Array, weight: Array, bias: Optional[Array] = None) -> Array:
     """Generalized projection via einsum (used by fused attention layers)."""

@@ -126,11 +126,14 @@ class QuantizedArray:
 
     def _binop(self, name: str, other: Any, reverse: bool = False):
         from fastforward_tpu import ops
+        from fastforward_tpu.autoquant import operator_site
 
         fn = getattr(ops, name)
-        if reverse:
-            return fn(other, self)
-        return fn(self, other)
+        quantizer, active = operator_site(name)
+        args = (other, self) if reverse else (self, other)
+        if active and quantizer is not None:
+            return fn(*args, output_quantizer=quantizer)
+        return fn(*args)
 
     def __add__(self, other):
         return self._binop("add", other)

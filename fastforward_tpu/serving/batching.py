@@ -8,10 +8,19 @@ decode step:
     *per-slot positions* — finished/empty slots decode garbage that the host
     ignores (static shapes keep one compiled program for the whole server
     lifetime);
-  - new requests prefill into a free slot via a batch-1 prefill whose KV rows
-    are scattered into the shared cache at the slot index;
+  - sampling config is per-request *data* ((B,) temperature/top-k/top-p
+    arrays through `sample_logits_per_row`), so heterogeneous requests share
+    the one compiled step;
+  - admission is batched and length-bucketed: pending requests are grouped,
+    prompts padded to a power-of-two bucket and prefilled together (compile
+    count is #len-buckets × #batch-buckets, not #distinct-prompt-lengths),
+    then their KV rows scatter into free slots of the shared cache;
   - per-slot state (position, remaining budget, generated tokens) lives on
     host; device state is just the stacked INT8 KV cache.
+
+Prompt padding is safe: padded KV rows beyond a prompt's true length sit at
+positions the causal mask (`s <= pos`) never reaches before the decode
+appends overwrite them in order.
 """
 
 import dataclasses
@@ -23,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fastforward_tpu.models.llama import LlamaConfig
+from fastforward_tpu.serving.sampling import SamplingParams
 from fastforward_tpu.serving.stacked import (
     StackedKVCache,
     serving_forward_stacked,
@@ -35,8 +45,16 @@ class Request:
     prompt: list[int]
     max_new_tokens: int
     eos_token: Optional[int] = None
+    sampling: Optional[SamplingParams] = None
     generated: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
+
+
+def _bucket(n: int, floor: int = 16) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
 
 
 class ContinuousBatchingEngine:
@@ -52,13 +70,12 @@ class ContinuousBatchingEngine:
         sampling=None,
         seed: int = 0,
     ):
-        from fastforward_tpu.serving.sampling import SamplingParams
-
         self.config = config
         self.params = params
         self.stacked = stacked_layers
         self.max_batch = max_batch
         self.max_len = max_len
+        # engine-wide default; per-request `Request.sampling` overrides
         self.sampling = sampling or SamplingParams(temperature=0.0)
         self._key = jax.random.PRNGKey(seed)
 
@@ -67,68 +84,109 @@ class ContinuousBatchingEngine:
             num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
             quantized=quantized_cache,
         )
-        self._small_cache_template = dict(
-            num_layers=config.num_layers, batch_size=1, max_len=max_len,
-            num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
-            quantized=quantized_cache,
-        )
+        self._quantized_cache = quantized_cache
 
         # Host-side slot state.
         self.slot_request: list[Optional[Request]] = [None] * max_batch
         self.slot_pos = np.zeros((max_batch,), np.int32)
         self.slot_token = np.zeros((max_batch,), np.int32)
+        self.slot_temp = np.zeros((max_batch,), np.float32)
+        self.slot_topk = np.zeros((max_batch,), np.int32)
+        self.slot_topp = np.ones((max_batch,), np.float32)
         self._ids = itertools.count()
         self._pending: list[Request] = []
         self._done: dict[int, Request] = {}
 
         cfg = config
-        sampling_params = self.sampling
 
         @jax.jit
-        def _decode_step(params, stacked, cache, tokens, positions, key):
-            from fastforward_tpu.serving.sampling import sample_logits
+        def _decode_step(params, stacked, cache, tokens, positions,
+                         temps, top_ks, top_ps, key):
+            from fastforward_tpu.serving.sampling import sample_logits_per_row
 
             logits, cache = serving_forward_stacked(
                 params, stacked, cfg, tokens, cache=cache, positions=positions
             )
-            nxt = sample_logits(logits[:, -1], sampling_params, key)
+            nxt = sample_logits_per_row(
+                logits[:, -1], temps, top_ks, top_ps, key
+            )
             return nxt.astype(jnp.int32), cache
 
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(9,))
+        def _decode_burst(params, stacked, cache, tokens, positions,
+                          temps, top_ks, top_ps, key, n_steps):
+            """n jitted decode steps in one lax.scan — one host round-trip
+            per burst instead of per token (the host-driven per-step loop is
+            dispatch-latency-bound through a remote relay)."""
+            from fastforward_tpu.serving.sampling import sample_logits_per_row
+
+            def one(carry, _):
+                cache, tokens, positions, key = carry
+                logits, cache = serving_forward_stacked(
+                    params, stacked, cfg, tokens, cache=cache,
+                    positions=positions,
+                )
+                key, sub = jax.random.split(key)
+                nxt = sample_logits_per_row(
+                    logits[:, -1], temps, top_ks, top_ps, sub
+                )
+                nxt = nxt.astype(jnp.int32)
+                return (cache, nxt[:, None], positions + 1, key), nxt
+
+            (cache, _, _, _), toks = jax.lax.scan(
+                one, (cache, tokens, positions, key), None, length=n_steps
+            )
+            return toks, cache  # (n_steps, B)
+
         @jax.jit
-        def _prefill(params, stacked, small_cache, ids, key):
-            from fastforward_tpu.serving.sampling import sample_logits
+        def _prefill_batch(params, stacked, small_cache, ids, lengths,
+                           temps, top_ks, top_ps, key):
+            """Bucketed batch prefill: ids (nb, T_bucket) zero-padded;
+            per-row first token sampled from the logits at lengths-1."""
+            from fastforward_tpu.serving.sampling import sample_logits_per_row
 
             logits, small_cache = serving_forward_stacked(
                 params, stacked, cfg, ids, cache=small_cache
             )
-            nxt = sample_logits(logits[:, -1], sampling_params, key)
+            last = jnp.take_along_axis(
+                logits, (lengths - 1)[:, None, None], axis=1
+            )[:, 0]
+            nxt = sample_logits_per_row(last, temps, top_ks, top_ps, key)
             return nxt.astype(jnp.int32), small_cache
 
         @jax.jit
-        def _scatter_slot(cache: StackedKVCache, small: StackedKVCache, slot):
+        def _scatter_row(cache: StackedKVCache, small: StackedKVCache,
+                         row, slot):
             def put(big, small_arr):
-                # big: (L, B, H, S, D) or (L, B, H, S); small batch dim is 1.
+                piece = jax.lax.dynamic_slice_in_dim(small_arr, row, 1, axis=1)
                 return jax.lax.dynamic_update_slice_in_dim(
-                    big, small_arr.astype(big.dtype), slot, axis=1
+                    big, piece.astype(big.dtype), slot, axis=1
                 )
 
             return StackedKVCache(
                 k=put(cache.k, small.k),
                 v=put(cache.v, small.v),
-                k_scale=None if cache.k_scale is None else put(cache.k_scale, small.k_scale),
-                v_scale=None if cache.v_scale is None else put(cache.v_scale, small.v_scale),
+                k_scale=None if cache.k_scale is None
+                else put(cache.k_scale, small.k_scale),
+                v_scale=None if cache.v_scale is None
+                else put(cache.v_scale, small.v_scale),
                 length=cache.length,
             )
 
         self._decode_step = _decode_step
-        self._prefill = _prefill
-        self._scatter_slot = _scatter_slot
+        self._decode_burst = _decode_burst
+        self._prefill_batch = _prefill_batch
+        self._scatter_row = _scatter_row
 
     # -- public API ---------------------------------------------------------
 
     def submit(self, prompt: list[int], max_new_tokens: int = 32,
-               eos_token: Optional[int] = None) -> int:
-        request = Request(next(self._ids), list(prompt), max_new_tokens, eos_token)
+               eos_token: Optional[int] = None,
+               sampling: Optional[SamplingParams] = None) -> int:
+        request = Request(next(self._ids), list(prompt), max_new_tokens,
+                          eos_token, sampling)
         self._pending.append(request)
         return request.request_id
 
@@ -146,7 +204,9 @@ class ContinuousBatchingEngine:
         positions = jnp.asarray(self.slot_pos[:, None])
         self._key, sub = jax.random.split(self._key)
         next_tokens, self.cache = self._decode_step(
-            self.params, self.stacked, self.cache, tokens, positions, sub
+            self.params, self.stacked, self.cache, tokens, positions,
+            jnp.asarray(self.slot_temp), jnp.asarray(self.slot_topk),
+            jnp.asarray(self.slot_topp), sub,
         )
         next_tokens = np.asarray(next_tokens)
 
@@ -165,34 +225,113 @@ class ContinuousBatchingEngine:
                 self._done[request.request_id] = request
                 self.slot_request[slot] = None
 
-    def run_until_complete(self, max_steps: int = 100_000) -> dict[int, list[int]]:
+    def step_burst(self, n: int) -> None:
+        """Admit, then run ``n`` decode steps as ONE device program.
+
+        Slots whose request finishes mid-burst keep decoding; the host
+        discards the overrun tokens. The overrun KV rows are garbage but
+        positionally beyond every live request's causal frontier, and a
+        later admission's prefill scatter resets the slot (same safety
+        argument as prompt padding).
+        """
+        self._admit()
+        if self.num_active == 0:
+            return
+        self._key, sub = jax.random.split(self._key)
+        toks, self.cache = self._decode_burst(
+            self.params, self.stacked, self.cache,
+            jnp.asarray(self.slot_token[:, None]),
+            jnp.asarray(self.slot_pos[:, None]),
+            jnp.asarray(self.slot_temp), jnp.asarray(self.slot_topk),
+            jnp.asarray(self.slot_topp), sub, n,
+        )
+        toks = np.asarray(toks)  # (n, B)
+        for slot, request in enumerate(self.slot_request):
+            if request is None:
+                continue
+            for i in range(toks.shape[0]):
+                token = int(toks[i, slot])
+                request.generated.append(token)
+                self.slot_pos[slot] += 1
+                self.slot_token[slot] = token
+                if (
+                    len(request.generated) >= request.max_new_tokens
+                    or (request.eos_token is not None
+                        and token == request.eos_token)
+                ):
+                    request.done = True
+                    self._done[request.request_id] = request
+                    self.slot_request[slot] = None
+                    # device-side the slot keeps decoding to the end of the
+                    # burst; host position tracking must follow
+                    self.slot_pos[slot] += toks.shape[0] - 1 - i
+                    break
+
+    def run_until_complete(self, max_steps: int = 100_000,
+                           burst: int = 1) -> dict[int, list[int]]:
         steps = 0
         while (self._pending or self.num_active) and steps < max_steps:
-            self.step()
+            if burst > 1:
+                self.step_burst(burst)
+            else:
+                self.step()
             steps += 1
         return {rid: r.generated for rid, r in self._done.items()}
 
     # -- internals ----------------------------------------------------------
 
-    def _admit(self) -> None:
-        for slot in range(self.max_batch):
-            if not self._pending:
-                break
-            if self.slot_request[slot] is not None:
-                continue
-            request = self._pending.pop(0)
-            self._start(slot, request)
+    def _sampling_of(self, request: Request) -> SamplingParams:
+        return request.sampling or self.sampling
 
-    def _start(self, slot: int, request: Request) -> None:
-        prompt = jnp.asarray(np.asarray(request.prompt, np.int32)[None, :])
-        small = StackedKVCache.create(**self._small_cache_template)
-        self._key, sub = jax.random.split(self._key)
-        first_token, small = self._prefill(
-            self.params, self.stacked, small, prompt, sub
+    def _admit(self) -> None:
+        free = [s for s in range(self.max_batch)
+                if self.slot_request[s] is None]
+        if not free or not self._pending:
+            return
+        batch = self._pending[: len(free)]
+        del self._pending[: len(batch)]
+
+        # one bucketed batch prefill for the whole admission group
+        max_prompt = max(len(r.prompt) for r in batch)
+        t_bucket = min(_bucket(max_prompt), self.max_len)
+        nb = _bucket(len(batch), floor=1)
+        ids = np.zeros((nb, t_bucket), np.int32)
+        lengths = np.ones((nb,), np.int32)
+        temps = np.zeros((nb,), np.float32)
+        top_ks = np.zeros((nb,), np.int32)
+        top_ps = np.ones((nb,), np.float32)
+        for i, r in enumerate(batch):
+            ids[i, : len(r.prompt)] = r.prompt
+            lengths[i] = len(r.prompt)
+            sp = self._sampling_of(r)
+            temps[i] = sp.temperature
+            top_ks[i] = sp.top_k
+            top_ps[i] = sp.top_p
+
+        small = StackedKVCache.create(
+            num_layers=self.config.num_layers, batch_size=nb,
+            max_len=self.max_len, num_kv_heads=self.config.num_kv_heads,
+            head_dim=self.config.head_dim, quantized=self._quantized_cache,
         )
-        self.cache = self._scatter_slot(self.cache, small, slot)
-        token = int(np.asarray(first_token)[0])
-        request.generated.append(token)
-        self.slot_request[slot] = request
-        self.slot_pos[slot] = len(request.prompt)
-        self.slot_token[slot] = token
+        self._key, sub = jax.random.split(self._key)
+        first_tokens, small = self._prefill_batch(
+            self.params, self.stacked, small, jnp.asarray(ids),
+            jnp.asarray(lengths), jnp.asarray(temps), jnp.asarray(top_ks),
+            jnp.asarray(top_ps), sub,
+        )
+        first_tokens = np.asarray(first_tokens)
+
+        for i, r in enumerate(batch):
+            slot = free[i]
+            self.cache = self._scatter_row(
+                self.cache, small, jnp.asarray(i), jnp.asarray(slot)
+            )
+            token = int(first_tokens[i])
+            r.generated.append(token)
+            self.slot_request[slot] = r
+            self.slot_pos[slot] = len(r.prompt)
+            self.slot_token[slot] = token
+            sp = self._sampling_of(r)
+            self.slot_temp[slot] = sp.temperature
+            self.slot_topk[slot] = sp.top_k
+            self.slot_topp[slot] = sp.top_p

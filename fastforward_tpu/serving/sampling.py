@@ -92,3 +92,47 @@ def sample_logits(
     if params.top_p < 1.0:
         scaled = _apply_top_p(scaled, params.top_p)
     return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+
+def sample_logits_per_row(
+    logits: jax.Array,        # (B, V)
+    temperature: jax.Array,   # (B,) f32 — 0 → greedy for that row
+    top_k: jax.Array,         # (B,) int32 — 0 disables
+    top_p: jax.Array,         # (B,) f32 — 1.0 disables
+    key: jax.Array,
+) -> jax.Array:
+    """Per-row (per-request) sampling in one fixed-shape jitted program.
+
+    The continuous-batching engine multiplexes requests with heterogeneous
+    sampling configs onto one decode step; here the config is *data*
+    ((B,) arrays) rather than static fields, so one compiled program serves
+    every mix. Matches `sample_logits` semantics row-wise: greedy argmax
+    where temperature == 0, temperature → top-k → top-p → categorical
+    elsewhere.
+    """
+    B, V = logits.shape
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    safe_t = jnp.where(temperature > 0, temperature, 1.0)
+    scaled = logits.astype(jnp.float32) / safe_t[:, None]
+
+    # per-row top-k: kth-largest threshold via a descending sort
+    sorted_l = jnp.sort(scaled, axis=-1)[..., ::-1]
+    k_eff = jnp.where(top_k > 0, jnp.clip(top_k, 1, V), V)
+    kth = jnp.take_along_axis(sorted_l, (k_eff - 1)[:, None], axis=-1)
+    scaled = jnp.where(scaled < kth, NEG_INF, scaled)
+
+    # per-row top-p on the (re-)sorted masked logits
+    sorted2 = jnp.sort(scaled, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted2, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = jnp.concatenate(
+        [jnp.ones_like(cum[:, :1], bool), cum[:, :-1] < top_p[:, None]], axis=-1
+    )
+    thresh = jnp.min(
+        jnp.where(keep, sorted2, jnp.inf), axis=-1, keepdims=True
+    )
+    scaled = jnp.where(scaled < thresh, NEG_INF, scaled)
+
+    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature > 0, sampled, greedy_tok)

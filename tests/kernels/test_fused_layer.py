@@ -47,6 +47,7 @@ def test_fused_reference_matches_composed_ops():
     h = jnp.asarray(np.asarray(x1) * inv) * norm_w[None, :]
     h_q, h_s = quantize_rowwise(h)
     guo = matmul_w4a8_2l_reference(h_q, h_s, *gu, None, g, jnp.float32, paired=True)
+    guo = guo.astype(jnp.bfloat16).astype(jnp.float32)  # kernel's bf16 staging
     gate, up = guo[:, :INTER], guo[:, INTER:]
     gated = np.asarray(gate) / (1 + np.exp(-np.asarray(gate))) * np.asarray(up)
     g_q, g_s = quantize_rowwise(jnp.asarray(gated))

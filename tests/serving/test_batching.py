@@ -118,3 +118,116 @@ def test_engine_with_stochastic_sampling():
     out = engine.run_until_complete()
     assert len(out[a]) == 5 and len(out[b]) == 3
     assert all(0 <= t < config.vocab_size for t in out[a] + out[b])
+
+
+def test_heterogeneous_per_request_sampling(setup):
+    # Requests with different sampling configs share one engine: a greedy
+    # request must still match the plain greedy decode exactly while a
+    # stochastic request runs beside it.
+    from fastforward_tpu.serving.sampling import SamplingParams
+
+    config, params, stacked = setup
+    engine = ContinuousBatchingEngine(
+        config, params, stacked, max_batch=4, max_len=64,
+        sampling=SamplingParams(temperature=0.0),
+    )
+    greedy_prompt = [5, 17, 3, 42]
+    rid_greedy = engine.submit(greedy_prompt, max_new_tokens=6)
+    rid_hot = engine.submit(
+        [1, 2, 3], max_new_tokens=6,
+        sampling=SamplingParams(temperature=1.2, top_k=20, top_p=0.9),
+    )
+    results = engine.run_until_complete()
+    ref = _reference_generate(config, params, stacked, greedy_prompt, 6)
+    assert results[rid_greedy] == ref
+    assert len(results[rid_hot]) == 6
+    assert all(0 <= t < config.vocab_size for t in results[rid_hot])
+
+
+def test_batched_admission_deterministic_and_tracks_serial(setup):
+    # A group of requests admitted in ONE bucketed batch prefill: the run is
+    # deterministic (identical engines → identical outputs) and each
+    # request's first sampled token matches serial admission. Full-sequence
+    # bitwise equality across admission-batch shapes is NOT asserted — XLA's
+    # f32 attention reductions are shape-dependent (different vectorization
+    # for B=1 vs B=4), and greedy decode amplifies one flipped argmax on a
+    # random tiny model's near-flat logits.
+    config, params, stacked = setup
+    prompts = [[5, 17, 3, 42], [7, 7], [9, 1, 2, 3, 4, 5, 6]]
+
+    def batch_run():
+        eng = ContinuousBatchingEngine(
+            config, params, stacked, max_batch=4, max_len=64,
+        )
+        rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+        return rids, eng.run_until_complete()
+
+    rids, out_a = batch_run()
+    rids_b, out_b = batch_run()
+    assert [out_a[r] for r in rids] == [out_b[r] for r in rids_b]
+
+    for p, rid in zip(prompts, rids):
+        eng = ContinuousBatchingEngine(
+            config, params, stacked, max_batch=4, max_len=64,
+        )
+        r = eng.submit(p, max_new_tokens=5)
+        serial = eng.run_until_complete()[r]
+        assert out_a[rid][0] == serial[0], (p, out_a[rid], serial)
+        assert len(out_a[rid]) == len(serial) == 5
+
+
+def test_prompt_length_bucketing_reuses_compilation(setup):
+    # Prompts of different lengths land in the same power-of-two bucket →
+    # the prefill compiles once per (bucket, admission-batch) shape.
+    config, params, stacked = setup
+    engine = ContinuousBatchingEngine(
+        config, params, stacked, max_batch=2, max_len=64,
+    )
+    calls = []
+    orig = engine._prefill_batch
+
+    def counting(*args):
+        calls.append(args[3].shape)  # ids shape
+        return orig(*args)
+
+    engine._prefill_batch = counting
+    for p in ([1, 2, 3], [4, 5, 6, 7, 8], [9] * 11, [2] * 16):
+        engine.submit(p, max_new_tokens=2)
+    engine.run_until_complete()
+    # all four prompts bucket to T=16; admission batches of 1 or 2
+    assert all(s[1] == 16 for s in calls), calls
+
+
+def test_burst_decode_matches_single_steps(setup):
+    # step_burst(n) must produce the same greedy generations as n single
+    # steps (one device program vs n host round-trips).
+    config, params, stacked = setup
+    prompts = [[5, 17, 3, 42], [7, 7]]
+
+    eng_a = ContinuousBatchingEngine(config, params, stacked, max_batch=2,
+                                     max_len=64)
+    for p in prompts:
+        eng_a.submit(p, max_new_tokens=6)
+    out_a = eng_a.run_until_complete(burst=3)
+
+    eng_b = ContinuousBatchingEngine(config, params, stacked, max_batch=2,
+                                     max_len=64)
+    rids = [eng_b.submit(p, max_new_tokens=6) for p in prompts]
+    out_b = eng_b.run_until_complete(burst=1)
+    for rid in rids:
+        assert out_a[rid] == out_b[rid]
+
+
+def test_burst_overrun_slot_reuse(setup):
+    # A request finishing mid-burst frees its slot; a later admission into
+    # that slot must generate correctly despite the overrun garbage KV.
+    config, params, stacked = setup
+    eng = ContinuousBatchingEngine(config, params, stacked, max_batch=1,
+                                   max_len=64)
+    r1 = eng.submit([5, 17, 3], max_new_tokens=2)   # finishes inside burst 4
+    out1 = eng.run_until_complete(burst=4)
+    r2 = eng.submit([9, 1, 2, 3], max_new_tokens=5)
+    out2 = eng.run_until_complete(burst=4)
+
+    ref = _reference_generate(config, params, stacked, [9, 1, 2, 3], 5)
+    assert out2[r2] == ref

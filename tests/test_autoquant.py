@@ -164,3 +164,120 @@ def test_pattern_rule_targets_new_namespace_entry(sample):
     assert seen == [sample.shape]
     # AND the namespace is restored afterwards
     assert not hasattr(jnp.exp, "op_name")
+
+
+def test_autoquant_einsum_log_softmax_and_helper_branching():
+    # A model calling jnp.einsum + jax.nn.log_softmax through a *helper
+    # function* with data-independent Python branching: every call site gets
+    # a quantizer slot and the apply path routes through the quantized ops.
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    import fastforward_tpu as ff
+    from fastforward_tpu import nn as ffnn
+
+    def head(x, w, normalize):
+        y = jnp.einsum("bi,io->bo", x, w)
+        if normalize:  # data-independent branch
+            y = jax.nn.log_softmax(y, axis=-1)
+        return y
+
+    class M(nnx.Module):
+        def __init__(self, rngs):
+            self.fc = nnx.Linear(8, 8, rngs=rngs)
+            # plain array (not nnx.Param): helper-consumed constant
+            self.w = jax.random.normal(rngs(), (8, 4))
+            self.normalize = True
+
+        def __call__(self, x):
+            h = self.fc(x)
+            h = h.dequantize() if isinstance(h, ff.QuantizedArray) else h
+            h = jax.nn.relu(h)
+            return head(h, self.w, self.normalize)
+
+    model = M(nnx.Rngs(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8).astype(np.float32))
+    with ff.flags.strict_quantization(False):
+        ff.autoquantize(model, x)
+    sites = set(model.autoquant_quantizers.keys())
+    assert {"relu_0", "einsum_0", "log_softmax_0"} <= sites, sites
+
+    with ff.flags.strict_quantization(False):
+        out = model(x)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(jnp.exp(out), axis=-1)), 1.0, rtol=1e-4
+    )
+
+
+def test_autoquant_subclass_cached_and_idempotent():
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    import fastforward_tpu as ff
+
+    class M2(nnx.Module):
+        def __init__(self, rngs):
+            self.fc = nnx.Linear(4, 4, rngs=rngs)
+
+        def __call__(self, x):
+            h = self.fc(x)
+            h = h.dequantize() if isinstance(h, ff.QuantizedArray) else h
+            return jax.nn.relu(h)
+
+    x = jnp.ones((2, 4))
+    m1, m2 = M2(nnx.Rngs(0)), M2(nnx.Rngs(1))
+    with ff.flags.strict_quantization(False):
+        ff.autoquantize(m1, x)
+        ff.autoquantize(m2, x)
+    # same original class → same cached AutoQuant subclass
+    assert type(m1) is type(m2)
+    cls_before = type(m1)
+    with ff.flags.strict_quantization(False):
+        ff.autoquantize(m1, x)  # re-call: no new subclass, no nesting
+    assert type(m1) is cls_before
+    assert cls_before.__mro__.count(cls_before) == 1
+
+
+def test_autoquant_operator_syntax_on_quantized_array():
+    # x + y / x @ y where an operand is a QuantizedArray count as autoquant
+    # call sites: recorded in discovery, quantized via the site slot.
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    import fastforward_tpu as ff
+    from fastforward_tpu import nn as ffnn
+
+    class M3(nnx.Module):
+        def __init__(self, rngs):
+            self.fc = nnx.Linear(8, 8, rngs=rngs)
+
+        def __call__(self, x):
+            h = self.fc(x)       # QuantizedArray out of the quantized linear
+            h = h + x            # operator syntax on QuantizedArray
+            return h
+
+    from fastforward_tpu import granularity
+    from fastforward_tpu.nn import LinearQuantizer
+
+    model = M3(nnx.Rngs(0))
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 8).astype(np.float32))
+    # give fc a real output quantizer so its output IS a QuantizedArray —
+    # only then is `h + x` operator syntax on a quantized operand
+    ffnn.quantize_model(model)
+    qo = LinearQuantizer(num_bits=8, granularity=granularity.PerTensor())
+    qo.quantization_range = (-4.0, 4.0)
+    model.fc.output_quantizer = qo
+    with ff.flags.strict_quantization(False):
+        ff.autoquantize(model, x, convert_modules=False)
+    assert "add_0" in model.autoquant_quantizers, model.autoquant_quantizers
+
+    # install a real quantizer on the site and check it is exercised
+    q = LinearQuantizer(num_bits=8, granularity=granularity.PerTensor())
+    q.quantization_range = (-4.0, 4.0)
+    model.autoquant_quantizers["add_0"] = q
+    with ff.flags.strict_quantization(False):
+        out = model(x)
+    assert isinstance(out, ff.QuantizedArray)

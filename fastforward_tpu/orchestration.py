@@ -133,3 +133,27 @@ def layerwise_optimize(*args: Any, **kwargs: Any):
     from fastforward_tpu.algorithms.layerwise import layerwise_optimize as impl
 
     return impl(*args, **kwargs)
+
+
+# Structural module graph (reference GraphModule / trace / scheduled
+# execution) — see fastforward_tpu/graph.py for the design mapping.
+from fastforward_tpu.graph import (  # noqa: E402  (re-export)
+    GraphModule,
+    SubgraphSpec,
+    run_scheduled,
+    trace_modules,
+)
+
+__all__ = [
+    "AlgorithmSpec",
+    "GraphModule",
+    "SubgraphSpec",
+    "TracedGraph",
+    "layerwise_optimize",
+    "register",
+    "registered_algorithms",
+    "resolve",
+    "run_scheduled",
+    "trace",
+    "trace_modules",
+]

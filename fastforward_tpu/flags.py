@@ -224,6 +224,14 @@ def fused_layer() -> bool:
     return _env_bool("FF_FUSED_LAYER", False)
 
 
+def two_level_preblock() -> bool:
+    """Pre-blocked stacked weight layout (L, N//bn, K//2, bn): each decode
+    GEMV grid step's weight panel is one contiguous HBM chunk instead of
+    K//2 strided rows (FF_2L_PREBLOCK). Applied at `fuse_stacked_layers`
+    time; the layout is carried by the array's ndim, never re-derived."""
+    return _env_bool("FF_2L_PREBLOCK", False)
+
+
 def two_level_buffers() -> int:
     """Pipeline buffer count for the stacked GEMV weight operand
     (FF_2L_BUFFERS, default 2 = plain double buffering)."""

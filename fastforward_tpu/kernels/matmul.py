@@ -1236,8 +1236,10 @@ def dequantize_int4(
 def _dequant_int4_paired_stacked_kernel(l_ref, wp_ref, m_ref, sc_ref, out_ref, *, group: int):
     # Layer-indexed paired dequant: effective per-group scale mult * s_col is
     # formed in-kernel from the (1, 2, bn) multiplier block and the (1, 1, bn)
-    # column scale, so no per-layer s_eff array ever exists.
-    p32 = pltpu.bitcast(wp_ref[0], jnp.int32)
+    # column scale, so no per-layer s_eff array ever exists. The weight block
+    # is (1, group, bn) for the flat layout or (1, 1, group, bn) pre-blocked.
+    w_block = wp_ref[0] if wp_ref.ndim == 3 else wp_ref[0, 0]
+    p32 = pltpu.bitcast(w_block, jnp.int32)
     low = pltpu.bitcast(jnp.bitwise_and(p32, 0x0F0F0F0F), jnp.int8)
     high = pltpu.bitcast(jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F), jnp.int8)
     sc = sc_ref[0, 0].astype(jnp.float32)
@@ -1263,24 +1265,41 @@ def dequantize_int4_paired_stacked(
     copies cost ~6.4 ms of the 51 ms device-side 8B batch-1 prefill —
     profiler-traced).
     """
-    L, K2, N = w_packed.shape
+    # Pre-blocked at-rest layout (`preblock_stacked`): (L, N//bn, K//2, bn).
+    preblocked = w_packed.ndim == 4
+    if preblocked:
+        L, NB, K2, bnw = w_packed.shape
+        N = NB * bnw
+    else:
+        L, K2, N = w_packed.shape
     K = K2 * 2
     n_groups = K // group_size
     if not _on_tpu():
         wl = jax.lax.dynamic_index_in_dim(w_packed, layer, keepdims=False)
+        if preblocked:
+            wl = wl.transpose(1, 0, 2).reshape(K2, N)
         ml = jax.lax.dynamic_index_in_dim(mult, layer, keepdims=False)
         sl = jax.lax.dynamic_index_in_dim(s_col, layer, keepdims=False)
         s_eff = ml.astype(jnp.float32) * sl[None, :]
         return dequantize_int4(
             wl, s_eff, group_size, offset_binary=True, paired=True
         )
-    bn = _round_block(block_n, 128, N)
+    bn = bnw if preblocked else _round_block(block_n, 128, N)
+    if preblocked:
+        w_spec = pl.BlockSpec(
+            (1, 1, group_size, bn), lambda g, j, l: (l[0], j, g, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        w_spec = pl.BlockSpec(
+            (1, group_size, bn), lambda g, j, l: (l[0], g, j),
+            memory_space=pltpu.VMEM,
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_groups // 2, pl.cdiv(N, bn)),
         in_specs=[
-            pl.BlockSpec((1, group_size, bn), lambda g, j, l: (l[0], g, j),
-                         memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((1, 2, 1, bn), lambda g, j, l: (l[0], g, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), lambda g, j, l: (l[0], 0, j),

@@ -202,8 +202,14 @@ class QuantLinear:
         if in_scale is not None and in_scale.ndim >= 1 \
                 and in_scale.shape[0] == self.data.shape[0]:
             in_scale = idx(in_scale)
+        data = idx(self.data)
+        if data.ndim == 3:
+            # Pre-blocked stacked layout (L, N//bn, K//2, bn) — restore the
+            # flat (K//2, N) form for the per-layer fallback.
+            nb, kh, bn = data.shape
+            data = data.transpose(1, 0, 2).reshape(kh, nb * bn)
         sliced = QuantLinear(
-            idx(self.data), idx(self.scale), mode=self.mode,
+            data, idx(self.scale), mode=self.mode,
             group_size=self.group_size,
             mult=None if self.mult is None else idx(self.mult),
             paired=self.paired,

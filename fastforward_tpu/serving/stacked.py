@@ -124,7 +124,21 @@ def _with_packed_mult(ql):
     from fastforward_tpu.kernels.packing import pack_mult_nibbles
 
     if ql.mult is not None and ql.mult_packed is None:
-        return dataclasses.replace(ql, mult_packed=pack_mult_nibbles(ql.mult))
+        ql = dataclasses.replace(ql, mult_packed=pack_mult_nibbles(ql.mult))
+    if (
+        flags.two_level_preblock()
+        and ql.mode == "w4a8_2l"
+        and ql.paired
+        and ql.data.ndim == 3
+    ):
+        from fastforward_tpu.kernels.matmul import preblock_stacked
+
+        bn = flags.two_level_block_n()
+        if ql.data.shape[2] % bn == 0:
+            # (L, K//2, N) -> (L, N//bn, K//2, bn): each decode GEMV grid
+            # step's weight panel becomes one contiguous HBM chunk (measured
+            # 7.22 -> 6.91 ms/step on the isolated batch-32 GEMV loop).
+            ql = dataclasses.replace(ql, data=preblock_stacked(ql.data, bn))
     return ql
 
 
@@ -479,6 +493,10 @@ def serving_forward_stacked(
             and layer.o_proj.paired
             and layer.o_proj.mult_packed is not None
             and layer.o_proj.in_scale is None
+            # fused_o_mlp_stacked consumes the flat (L, K//2, N) layout
+            and layer.o_proj.data.ndim == 3
+            and layer.gateup_proj.data.ndim == 3
+            and layer.down_proj.data.ndim == 3
             and flags.fused_layer()
             and _serving_on_tpu()
         )

@@ -404,3 +404,104 @@ def test_gemv_argmax_ties_first_occurrence():
                                    paired=True)
     )
     assert np.all(tok % 2 == 0), tok  # even index = first of each tied pair
+
+
+def test_preblocked_stacked_gemv_matches_flat_layout():
+    # GIVEN stacked paired weights in both the flat (L, K//2, N) layout and
+    # the pre-blocked (L, N//bn, K//2, bn) layout (preblock_stacked)
+    from fastforward_tpu.kernels import (
+        matmul_w4a8_2l_gemv_stacked,
+        quantize_rowwise,
+    )
+    from fastforward_tpu.kernels.matmul import preblock_stacked
+    from fastforward_tpu.kernels.packing import pack_mult_nibbles
+
+    rng = np.random.RandomState(17)
+    L, K, N, g, bn = 2, 512, 512, 128, 256
+    wp = jnp.asarray(rng.randint(-128, 128, (L, K // 2, N)), jnp.int8)
+    wp4 = preblock_stacked(wp, bn)
+    assert wp4.shape == (L, N // bn, K // 2, bn)
+    mult = jnp.asarray(rng.randint(1, 16, (L, K // g, N)), jnp.int8)
+    s_col = jnp.asarray(rng.rand(L, N).astype(np.float32) * 1e-2)
+    x_q, x_scale = quantize_rowwise(jnp.asarray(rng.randn(4, K), jnp.float32))
+    mp = pack_mult_nibbles(mult)
+    # THEN the 4-D entry is bit-identical to the flat entry per layer
+    for l in range(L):
+        flat = matmul_w4a8_2l_gemv_stacked(
+            x_q, x_scale, wp, mp, s_col, jnp.asarray(l, jnp.int32),
+            out_dtype=jnp.float32,
+        )
+        pre = matmul_w4a8_2l_gemv_stacked(
+            x_q, x_scale, wp4, mp, s_col, jnp.asarray(l, jnp.int32),
+            out_dtype=jnp.float32,
+        )
+        np.testing.assert_array_equal(np.asarray(pre), np.asarray(flat))
+
+
+def test_preblocked_stacked_dequant_matches_flat_layout():
+    from fastforward_tpu.kernels.matmul import (
+        dequantize_int4_paired_stacked,
+        preblock_stacked,
+    )
+
+    rng = np.random.RandomState(19)
+    L, K, N, g, bn = 2, 512, 512, 128, 256
+    wp = jnp.asarray(rng.randint(-128, 128, (L, K // 2, N)), jnp.int8)
+    wp4 = preblock_stacked(wp, bn)
+    mult = jnp.asarray(rng.randint(1, 16, (L, K // g, N)), jnp.int32)
+    s_col = jnp.asarray(rng.rand(L, N).astype(np.float32) * 1e-2)
+    for l in range(L):
+        flat = dequantize_int4_paired_stacked(
+            wp, mult, s_col, jnp.asarray(l, jnp.int32), group_size=g
+        )
+        pre = dequantize_int4_paired_stacked(
+            wp4, mult, s_col, jnp.asarray(l, jnp.int32), group_size=g
+        )
+        np.testing.assert_array_equal(np.asarray(pre), np.asarray(flat))
+
+
+def test_preblock_fuse_and_decode_matches_flat(monkeypatch):
+    # GIVEN a tiny stacked model fused under FF_2L_PREBLOCK=1
+    from fastforward_tpu.models.llama import LlamaConfig
+    from fastforward_tpu.serving.stacked import (
+        StackedKVCache,
+        fuse_stacked_layers,
+        random_stacked_params,
+        serving_forward_stacked,
+    )
+
+    # paired layout needs an even number of K-groups -> hidden >= 2*group;
+    # all projection N dims must divide FF_2L_BLOCK_N
+    config = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=256, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=64, max_seq_len=128,
+        dtype=jnp.float32,
+    )
+    params, stacked = random_stacked_params(config, mode="w4a8_2l", seed=3)
+    fused_flat = fuse_stacked_layers(stacked)
+    monkeypatch.setenv("FF_2L_PREBLOCK", "1")
+    monkeypatch.setenv("FF_2L_BLOCK_N", "128")
+    fused_pre = fuse_stacked_layers(stacked)
+    assert fused_pre.qkv_proj.data.ndim == 4
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, config.vocab_size, (2, 8)))
+
+    def run(fused):
+        cache = StackedKVCache.create(
+            num_layers=config.num_layers, batch_size=2, max_len=32,
+            num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
+            quantized=True,
+        )
+        logits, cache = serving_forward_stacked(
+            params, fused, config, ids, cache=cache
+        )
+        tok = jnp.argmax(logits[:, -1], axis=-1).astype(ids.dtype)[:, None]
+        logits2, _ = serving_forward_stacked(
+            params, fused, config, tok, cache=cache
+        )
+        return np.asarray(logits), np.asarray(logits2)
+
+    p1, d1 = run(fused_flat)
+    p2, d2 = run(fused_pre)
+    # THEN prefill and decode logits are identical across layouts
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(d1, d2)

@@ -220,8 +220,10 @@ def use_flash_prefill() -> bool:
 
 def fused_layer() -> bool:
     """One-pallas_call o+MLP layer tail in the stacked decode loop
-    (FF_FUSED_LAYER)."""
-    return _env_bool("FF_FUSED_LAYER", False)
+    (FF_FUSED_LAYER). Default on: whole-loop A/B on real TPU (round 3)
+    measured batch 32: 2940->3104..3153 tok/s (+6-7%), batch 8: 909->929
+    (+2.2%); see docs/performance.md "Round 3"."""
+    return _env_bool("FF_FUSED_LAYER", True)
 
 
 def two_level_preblock() -> bool:

@@ -18,7 +18,6 @@ from fastforward_tpu.quantization.granularity import (
     Granularity,
     PerBlock,
     PerChannel,
-    PerTensor,
 )
 
 

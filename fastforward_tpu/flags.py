@@ -226,6 +226,12 @@ def fused_layer() -> bool:
     return _env_bool("FF_FUSED_LAYER", True)
 
 
+def fused_qkv() -> bool:
+    """One-pallas_call input-norm + requant + qkv GEMV layer head in the
+    stacked decode loop (FF_FUSED_QKV)."""
+    return _env_bool("FF_FUSED_QKV", False)
+
+
 def two_level_preblock() -> bool:
     """Pre-blocked stacked weight layout (L, N//bn, K//2, bn): each decode
     GEMV grid step's weight panel is one contiguous HBM chunk instead of

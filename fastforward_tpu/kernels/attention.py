@@ -13,7 +13,6 @@ Like the other kernels: XLA reference implementation used on non-TPU
 backends and as the numerical oracle.
 """
 
-import functools
 from typing import Optional
 
 import jax

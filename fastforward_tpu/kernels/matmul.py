@@ -35,7 +35,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fastforward_tpu import flags
 from fastforward_tpu.kernels.packing import (
-    pack_int4,
     pack_uint4_offset,
     pack_uint4_offset_paired,
     unpack_int4,
@@ -1742,3 +1741,135 @@ def fused_o_mlp_stacked(
       gu_w, gu_mp, gu_sc.astype(jnp.float32).reshape(L, 1, N_GU),
       dn_w, dn_mp, dn_sc.astype(jnp.float32).reshape(L, 1, H))
     return out[:M].astype(attn.dtype)
+
+
+def _fused_norm_qkv_kernel(
+    l_ref,
+    x_ref,      # (bm, K) bf16/f32 — residual stream
+    nw_ref,     # (1, 1, K) f32 — input norm weight (layer block)
+    w_ref, m_ref, sc_ref,       # qkv weight blocks (layer-indexed)
+    out_ref,    # (bm, bn)
+    hq_ref,     # scratch (bm, K) int8 — quantized normed hidden
+    hs_ref,     # scratch (bm, 128) f32 — its row scale
+    *,
+    n_groups: int, group: int, eps: float,
+):
+    j = pl.program_id(0)
+    bm = x_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _norm_quant():
+        xf = x_ref[...].astype(jnp.float32)
+        k = xf.shape[1]
+        inv = jax.lax.rsqrt(jnp.sum(xf * xf, axis=1, keepdims=True) / k + eps)
+        h = xf * inv * nw_ref[0]
+        amax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+        s = jnp.maximum(amax / 127.0, 1e-8)
+        hq_ref[...] = jnp.clip(jnp.round(h / s), -128, 127).astype(jnp.int8)
+        hs_ref[...] = jnp.broadcast_to(s, hs_ref.shape)
+
+    acc = jnp.zeros((bm, out_ref.shape[1]), jnp.int32)
+    acc = _pair_dot_acc(
+        lambda a, b: hq_ref[:, a:b], w_ref.at[0],
+        lambda w: m_ref[0, w, :].reshape(1, -1), n_groups // 2, group, acc,
+    )
+    out_ref[...] = (
+        acc.astype(jnp.float32) * sc_ref[0] * hs_ref[:, :1]
+    ).astype(out_ref.dtype)
+
+
+def fused_norm_qkv_reference(
+    x, norm_w, w, m, s, group_size=128, eps=1e-5,
+):
+    """XLA oracle for the fused layer head: rmsnorm (f32 chain) -> dynamic
+    int8 row quantization -> two-level W4A8 GEMV (per-layer operands)."""
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
+    h = xf * inv * norm_w[None, :].astype(jnp.float32)
+    h_q, h_s = quantize_rowwise(h)
+    return matmul_w4a8_2l_reference(
+        h_q, h_s, w, m, s, None, group_size, jnp.float32, paired=True
+    )
+
+
+def fused_norm_qkv_stacked(
+    x: jax.Array,          # (M, K) — residual stream (pre input-norm)
+    norm_w: jax.Array,     # (L, K) — stacked input norm weights
+    w_packed: jax.Array,   # (L, K//2, N) paired two-level qkv weights
+    mult_packed: jax.Array,  # (L, ceil(n_groups/8), N) int32
+    s_col: jax.Array,      # (L, N)
+    layer: jax.Array,
+    group_size: int = 128,
+    eps: float = 1e-5,
+    out_dtype=jnp.bfloat16,
+    block_n: Optional[int] = None,
+) -> jax.Array:
+    """One-pallas_call layer head: qkv = rmsnorm(x) @ W_qkv[l], with the
+    dynamic int8 activation quantization computed in-kernel at grid step 0
+    (overlapped with the first weight panel's DMA). Removes the XLA
+    rms_norm + quantize_rowwise round-trips and one call boundary per layer
+    from the decode loop (docs/performance.md r2: per-call serial latency).
+
+    Single-shard, decode-shaped (T == 1) only; the TP path keeps the
+    unfused norm + GEMV calls (same constraint as `fused_o_mlp_stacked`).
+    """
+    from fastforward_tpu.kernels.packing import unpack_mult_nibbles
+
+    M, K = x.shape
+    L, Kh, N = w_packed.shape
+    n_groups = K // group_size
+
+    if not _on_tpu():
+        idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, keepdims=False)
+        return fused_norm_qkv_reference(
+            x.astype(jnp.float32), idx(norm_w),
+            idx(w_packed), unpack_mult_nibbles(idx(mult_packed), n_groups),
+            idx(s_col), group_size, eps,
+        ).astype(out_dtype)
+
+    bm = max(8, M)
+    if M < 8:
+        x = jnp.pad(x, ((0, 8 - M), (0, 0)))
+    if block_n is None:
+        block_n = flags.two_level_block_n()
+    bn = _round_block(block_n, 128, N)
+    n_pack = mult_packed.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(N, bn),),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda j, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda j, l: (l[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kh, bn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pack, bn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, l: (0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bm, K), jnp.int8),
+            pltpu.VMEM((bm, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_norm_qkv_kernel,
+            n_groups=n_groups, group=group_size, eps=eps,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bm, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * N * K,
+            bytes_accessed=K * N // 2 + bm * K + bm * N * 2,
+            transcendentals=0,
+        ),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32),
+      x, norm_w.astype(jnp.float32).reshape(L, 1, K),
+      w_packed, mult_packed,
+      s_col.astype(jnp.float32).reshape(L, 1, N))
+    return out[:M]

@@ -8,10 +8,8 @@ it quantizes HF models via autoquant; we ship the architectures directly
 """
 
 import dataclasses
-import math
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 from flax import nnx
 

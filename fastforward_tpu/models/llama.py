@@ -12,7 +12,7 @@ own every hot op.
 """
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ selectors).
 
 from typing import Any, Sequence
 
-from fastforward_tpu.mpath.fragments import Fragment, JointFragment
+from fastforward_tpu.mpath.fragments import Fragment
 
 
 class BaseSelector:

@@ -11,7 +11,6 @@ Registered against the *flax NNX* layer types, so any NNX model converts via
 
 from typing import Any
 
-import jax.numpy as jnp
 from flax import nnx
 
 from fastforward_tpu import ops

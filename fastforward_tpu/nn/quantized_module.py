@@ -15,7 +15,7 @@ identity/sharding).
 
 import contextlib
 from contextvars import ContextVar
-from typing import Any, Callable, Iterator, Optional, Type
+from typing import Any, Callable, Iterator, Optional
 
 from flax import nnx
 

@@ -7,6 +7,7 @@ from fastforward_tpu.parallel.multihost import (
 from fastforward_tpu.parallel.context import context_parallel_attention, ring_attention
 from fastforward_tpu.parallel.pipeline import pipeline_forward, pipeline_stage_loop
 from fastforward_tpu.parallel.sharding import (
+    batch_axes,
     shard_kv_cache,
     shard_serving_params,
     serving_param_spec,
@@ -17,6 +18,7 @@ __all__ = [
     "make_hybrid_mesh",
     "initialize_distributed",
     "host_local_batch_slice",
+    "batch_axes",
     "shard_serving_params",
     "shard_kv_cache",
     "serving_param_spec",

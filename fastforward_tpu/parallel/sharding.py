@@ -13,7 +13,6 @@ packing groups (128 rows → 64 packed) never straddle a shard boundary when
 shard_size % group_size == 0.
 """
 
-from typing import Any
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -119,10 +118,20 @@ def shard_serving_params(params: ServingParams, mesh: Mesh) -> ServingParams:
     )
 
 
+def batch_axes(mesh: Mesh):
+    """The mesh axes the batch dimension shards over: ("dcn", "data") on a
+    hybrid multi-host mesh (`make_hybrid_mesh`) so data parallelism spans
+    hosts over DCN while model axes stay inside a host's ICI domain;
+    plain "data" on a single-host mesh."""
+    return ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+
+
 def shard_kv_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    """Shard the KV cache: batch over ``data``, kv-heads over ``model``."""
-    spec4 = NamedSharding(mesh, P("data", "model", None, None))
-    spec3 = NamedSharding(mesh, P("data", "model", None))
+    """Shard the KV cache: batch over the data axes (incl. ``dcn`` on a
+    hybrid mesh), kv-heads over ``model``."""
+    b = batch_axes(mesh)
+    spec4 = NamedSharding(mesh, P(b, "model", None, None))
+    spec3 = NamedSharding(mesh, P(b, "model", None))
 
     def shard_layer(lc: LayerKVCache) -> LayerKVCache:
         return LayerKVCache(

@@ -15,11 +15,8 @@ replicated.
 """
 
 import dataclasses
-import functools
-from typing import Any, Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 

@@ -9,7 +9,6 @@ import dataclasses
 from typing import Any, Callable, Optional, Sequence, Union
 
 import jax
-import jax.numpy as jnp
 
 from fastforward_tpu import flags
 from fastforward_tpu.exceptions import ExportError

@@ -12,10 +12,9 @@ tier (dequantized weights, reference semantics).
 
 from typing import Any
 
-from flax import nnx
 
 from fastforward_tpu.forward_override import OverrideHandle
-from fastforward_tpu.nn.quantized_module import QuantizedModule, named_quantizers
+from fastforward_tpu.nn.quantized_module import QuantizedModule
 from fastforward_tpu.nn.quantizer import QuantizerStub
 from fastforward_tpu.quantization.quantized_array import QuantizedArray
 

@@ -21,7 +21,6 @@ length ``prod(g)`` in that order.
 from typing import Literal, Sequence
 
 import jax
-import jax.numpy as jnp
 
 Shape = tuple[int, ...]
 TileOrShape = Sequence[int] | Literal["data_shape"]

@@ -9,7 +9,7 @@ a quantizer override, :180-238) and the `estimate_ranges` context manager
 
 import abc
 import contextlib
-from typing import Any, Callable, Iterator, Optional, Protocol, runtime_checkable
+from typing import Any, Callable, Iterator, Protocol, runtime_checkable
 
 from fastforward_tpu.forward_override import OverrideHandle
 from fastforward_tpu.nn.quantized_module import named_quantizers

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from fastforward_tpu.quantization import tiling
 from fastforward_tpu.range_setting.common import (
-    RangeEstimator,
     SimpleEstimatorStep,
     _StepEstimator,
 )

@@ -17,14 +17,13 @@ prefill and the full multi-step decode loop each compile to one XLA program.
 """
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from fastforward_tpu import flags
-from flax import nnx
 
 from fastforward_tpu.kernels import (
     matmul_w4a8,
@@ -40,7 +39,6 @@ from fastforward_tpu.kernels.matmul import (
     dequantize_int4,
     matmul_w4a8_2l_gemv,
     matmul_w4a8_2l_gemv_stacked,
-    matmul_w4a8_2l_reference,
 )
 from fastforward_tpu.models.llama import LlamaConfig, apply_rope, rope_frequencies
 from fastforward_tpu.serving.kv_cache import KVCache
@@ -464,6 +462,27 @@ def _attention(q, k, v, mask):
     return jnp.einsum("bhts,bhsd->bhtd", weights, v)
 
 
+def _attention_grouped(q, k, v, mask):
+    """GQA attention without materializing repeated K/V: q (B, H, T, d)
+    against shared k/v (B, Hkv, S, d) via a grouped einsum. The score
+    tensor is the same size as MHA's, but the (groups×) dequantized KV
+    copy `jnp.repeat` used to make never exists."""
+    B, H, T, d = q.shape
+    Hkv = k.shape[1]
+    g = H // Hkv
+    if g == 1:
+        return _attention(q, k, v, mask)
+    scale = 1.0 / np.sqrt(d)
+    q5 = q.reshape(B, Hkv, g, T, d)
+    scores = jnp.einsum("bkgtd,bksd->bkgts", q5, k).astype(jnp.float32) * scale
+    if mask is not None:
+        # mask (B or 1, 1, T, S) broadcasts over the kv-head and group axes
+        scores = scores + mask[:, :, None]
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgts,bksd->bkgtd", weights, v)
+    return out.reshape(B, H, T, d)
+
+
 def serving_forward(
     params: ServingParams,
     config: LlamaConfig,
@@ -495,22 +514,47 @@ def serving_forward(
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
+        groups = nh // nkv
         if cache is not None:
             lc = cache.layer(i).append(k, v, positions)
-            k_all, v_all = lc.read(dtype=x.dtype)
-            mask = lc.attention_mask(positions)
             new_layers.append(lc)
+            starts = (
+                positions[:, 0] if positions.ndim == 2
+                else jnp.broadcast_to(positions[0], (B,))
+            )
+            if T > 1 and positions.ndim == 1 and flags.use_flash_prefill():
+                # Prefill through the just-appended cache: blocked flash
+                # attention on TPU (no (T, S) score materialization, no GQA
+                # repeat, int8 KV consumed in-register); off-TPU the same
+                # entry point runs its XLA reference — one implementation
+                # for the GSPMD/loader path and the stacked engine
+                # (kernels/attention.py:flash_prefill).
+                from fastforward_tpu.kernels.attention import flash_prefill
+
+                attn = flash_prefill(
+                    q, lc.k, lc.k_scale, lc.v, lc.v_scale, starts
+                )
+            elif (
+                T == 1 and lc.is_quantized and groups >= 2
+                and _on_tpu() and flags.use_flash_attention()
+            ):
+                # Decode step: stream the int8 cache through the
+                # flash-decode kernel — no dequantized cache copy.
+                from fastforward_tpu.kernels.attention import flash_decode_int8
+
+                attn = flash_decode_int8(
+                    q[:, :, 0, :], lc.k, lc.k_scale, lc.v, lc.v_scale,
+                    lengths=starts + 1,
+                )[:, :, None, :]
+            else:
+                k_all, v_all = lc.read(dtype=x.dtype)
+                mask = lc.attention_mask(positions)
+                attn = _attention_grouped(q, k_all, v_all, mask)
         else:
-            k_all, v_all = k, v
             s = jnp.arange(T)
             causal = s[None, None, None, :] <= positions.reshape(1, 1, T, 1)
             mask = jnp.where(causal, 0.0, -1e30).astype(jnp.float32)
-
-        groups = nh // nkv
-        if groups > 1:
-            k_all = jnp.repeat(k_all, groups, axis=1)
-            v_all = jnp.repeat(v_all, groups, axis=1)
-        attn = _attention(q, k_all, v_all, mask)
+            attn = _attention_grouped(q, k, v, mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * d)
         x = x + layer.o_proj(attn)
 

@@ -10,7 +10,7 @@ on load.
 """
 
 import os
-from typing import Any, Iterator, Optional
+from typing import Iterator, Optional
 
 import jax.numpy as jnp
 import numpy as np

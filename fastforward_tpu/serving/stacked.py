@@ -19,7 +19,11 @@ from fastforward_tpu import flags
 
 from fastforward_tpu.kernels.matmul import _on_tpu as _serving_on_tpu
 from fastforward_tpu.models.llama import LlamaConfig, apply_rope, rope_frequencies
-from fastforward_tpu.serving.engine import ServingParams, _attention, _rms_norm
+from fastforward_tpu.serving.engine import (
+    ServingParams,
+    _attention_grouped,
+    _rms_norm,
+)
 from fastforward_tpu.serving.kv_cache import NEG_INF, _quantize_kv
 
 
@@ -356,13 +360,41 @@ def serving_forward_stacked(
         def norm_at(w):
             return jax.lax.dynamic_index_in_dim(w, l, keepdims=False)
 
-        h = _rms_norm(x, norm_at(layer.input_norm), eps)
-        if isinstance(layer, FusedServingLayer):
+        fused_head = (
+            T == 1
+            and tp_axis is None
+            and isinstance(layer, FusedServingLayer)
+            and layer.qkv_proj.mode == "w4a8_2l"
+            and layer.qkv_proj.paired
+            and layer.qkv_proj.mult_packed is not None
+            and layer.qkv_proj.in_scale is None
+            and layer.qkv_proj.data.ndim == 3
+            and flags.fused_qkv()
+            and _serving_on_tpu()
+        )
+        if fused_head:
+            # One-pallas_call layer head: input RMSNorm + dynamic int8
+            # requant + qkv GEMV (kernels/matmul.py:fused_norm_qkv_stacked)
+            # — the norm/quant run at grid step 0 overlapped with the first
+            # weight panel's DMA instead of as XLA ops between calls.
+            from fastforward_tpu.kernels.matmul import fused_norm_qkv_stacked
+
+            qp = layer.qkv_proj
+            qkv = fused_norm_qkv_stacked(
+                x[:, 0, :], layer.input_norm, qp.data, qp.mult_packed,
+                qp.scale, l, group_size=qp.group_size, eps=eps,
+            )[:, None, :]
+            q = split_heads(qkv[..., : nh * d], nh)
+            k = split_heads(qkv[..., nh * d : (nh + nkv) * d], nkv)
+            v = split_heads(qkv[..., (nh + nkv) * d :], nkv)
+        elif isinstance(layer, FusedServingLayer):
+            h = _rms_norm(x, norm_at(layer.input_norm), eps)
             qkv = layer.qkv_proj.call_layer(h, l)
             q = split_heads(qkv[..., : nh * d], nh)
             k = split_heads(qkv[..., nh * d : (nh + nkv) * d], nkv)
             v = split_heads(qkv[..., (nh + nkv) * d :], nkv)
         else:
+            h = _rms_norm(x, norm_at(layer.input_norm), eps)
             q = split_heads(layer.q_proj.call_layer(h, l), nh)
             k = split_heads(layer.k_proj.call_layer(h, l), nkv)
             v = split_heads(layer.v_proj.call_layer(h, l), nkv)
@@ -480,10 +512,9 @@ def serving_forward_stacked(
             k_all, v_all = k, v
 
         if not use_flash:
-            if groups > 1:
-                k_all = jnp.repeat(k_all, groups, axis=1)
-                v_all = jnp.repeat(v_all, groups, axis=1)
-            attn = _attention(q, k_all, v_all, mask)
+            # GQA without the (groups x) repeated KV copy — shared grouped
+            # einsum helper (serving/engine.py:_attention_grouped).
+            attn = _attention_grouped(q, k_all, v_all, mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * d)
         fused_tail = (
             T == 1

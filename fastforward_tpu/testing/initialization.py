@@ -7,7 +7,7 @@ Parity: reference `testing/initialization.py:16`
 from typing import Any, Optional
 
 from fastforward_tpu.nn.linear_quantizer import LinearQuantizer
-from fastforward_tpu.nn.quantized_module import QuantizedModule, named_quantizers
+from fastforward_tpu.nn.quantized_module import QuantizedModule
 from fastforward_tpu.quantization.granularity import Granularity
 
 

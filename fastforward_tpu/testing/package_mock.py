@@ -17,8 +17,6 @@ import importlib.util
 import linecache
 import sys
 import textwrap
-from types import ModuleType
-from typing import Dict, Optional
 
 
 def _origin(name: str) -> str:

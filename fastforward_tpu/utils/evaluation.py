@@ -9,7 +9,7 @@ fixed-length windows, mean NLL over all positions,
 `tests/_orchestration/test_gptq_end2end.py:59-74`).
 """
 
-from typing import Any, Callable, Iterable
+from typing import Callable, Iterable
 
 import jax
 import jax.numpy as jnp

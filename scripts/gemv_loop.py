@@ -25,7 +25,7 @@ from fastforward_tpu.kernels.matmul import (
     matmul_w4a8_2l_gemv_stacked,
     preblock_stacked,
 )
-from fastforward_tpu.kernels.packing import pack_mult_nibbles, pack_uint4_offset
+from fastforward_tpu.kernels.packing import pack_mult_nibbles
 
 B = int(os.environ.get("GL_BATCH", "8"))
 STACKED = os.environ.get("GL_STACKED", "1") == "1"

@@ -11,7 +11,6 @@ Env: PD_BATCH (32), PD_STEPS (32), PD_MODE (w4a8_2l), PD_TOP (25)
 """
 
 import glob
-import gzip
 import os
 import sys
 

@@ -12,7 +12,7 @@ from fastforward_tpu.kernels.matmul import (
     fused_o_mlp_reference,
     fused_o_mlp_stacked,
 )
-from fastforward_tpu.kernels.packing import pack_mult_nibbles, unpack_mult_nibbles
+from fastforward_tpu.kernels.packing import pack_mult_nibbles
 
 
 def build(rng, L, K, N, g=128):
@@ -59,11 +59,42 @@ def check(name, M, H, INTER, L=2, g=128, atol=0.05):
     return ok
 
 
+def check_qkv(name, M, H, N, L=2, g=128, atol=0.05):
+    from fastforward_tpu.kernels.matmul import (
+        fused_norm_qkv_reference,
+        fused_norm_qkv_stacked,
+    )
+
+    rng = np.random.RandomState(4)
+    w, mp, sc, pl_ = build(rng, L, H, N, g)
+    norm_w = jnp.asarray(rng.rand(L, H).astype(np.float32) + 0.5)
+    x = jnp.asarray(rng.randn(M, H).astype(np.float32) * 0.5, jnp.bfloat16)
+    ok = True
+    for l in range(L):
+        out = jax.jit(
+            lambda xx, li: fused_norm_qkv_stacked(
+                xx, norm_w, w, mp, sc, li, group_size=g,
+            )
+        )(x, jnp.asarray(l, jnp.int32))
+        ref = fused_norm_qkv_reference(
+            x.astype(jnp.float32), norm_w[l], pl_[l][0], pl_[l][1], pl_[l][2],
+            group_size=g,
+        )
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+        rel = err / (float(jnp.max(jnp.abs(ref))) + 1e-9)
+        status = "OK " if rel <= atol else "FAIL"
+        print(f"{status} qkv:{name} l={l}: max|err|={err:.5f} rel={rel:.5f}")
+        ok &= rel <= atol
+    return ok
+
+
 def main():
     assert jax.default_backend() in ("tpu", "axon")
     ok = True
     ok &= check("small", M=8, H=512, INTER=1024)
     ok &= check("8b-shape", M=32, H=4096, INTER=14336, L=1)
+    ok &= check_qkv("small", M=8, H=512, N=768)
+    ok &= check_qkv("8b-shape", M=32, H=4096, N=6144, L=1)
     print("ALL OK" if ok else "FAILURES")
     raise SystemExit(0 if ok else 1)
 

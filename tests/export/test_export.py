@@ -15,7 +15,6 @@ from fastforward_tpu.export import (
     LegacySchemaHandler,
     LPBQProcessor,
     QuantizerEncoding,
-    V1SchemaHandler,
     V2SchemaHandler,
     collect_encodings,
     export,

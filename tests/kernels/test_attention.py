@@ -2,7 +2,6 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from fastforward_tpu.kernels.attention import flash_decode_int8_reference
 

@@ -1,11 +1,9 @@
 """Fused o+MLP layer-tail kernel: CPU oracle + serving integration tests.
 Real-TPU kernel correctness: scripts/tpu_probe_fused.py (same oracle)."""
 
-import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from fastforward_tpu.kernels import pack_int4, quantize_rowwise
 from fastforward_tpu.kernels.matmul import (
@@ -134,4 +132,88 @@ def test_serving_fused_layer_knob_equivalence(monkeypatch):
     fused = run()
     # CPU dispatch of the fused path requires _on_tpu() — both runs take the
     # unfused path here, so this guards the wiring doesn't corrupt anything.
+    np.testing.assert_allclose(base, fused, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_norm_qkv_reference_matches_composed_ops():
+    from fastforward_tpu.kernels.matmul import fused_norm_qkv_reference
+
+    rng = np.random.RandomState(2)
+    M, H, N, g = 4, 256, 384, 128
+    qkv = _two_level(rng, H, N, g)
+    x = jnp.asarray(rng.randn(M, H).astype(np.float32) * 0.5)
+    norm_w = jnp.asarray(rng.rand(H).astype(np.float32) + 0.5)
+
+    out = fused_norm_qkv_reference(x, norm_w, *qkv, group_size=g)
+
+    inv = 1.0 / np.sqrt(np.mean(np.asarray(x) ** 2, axis=1, keepdims=True) + 1e-5)
+    h = jnp.asarray(np.asarray(x) * inv) * norm_w[None, :]
+    h_q, h_s = quantize_rowwise(h)
+    ref = matmul_w4a8_2l_reference(h_q, h_s, *qkv, None, g, jnp.float32, paired=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_fused_norm_qkv_stacked_entry_cpu_dispatch():
+    from fastforward_tpu.kernels.matmul import (
+        fused_norm_qkv_reference,
+        fused_norm_qkv_stacked,
+    )
+
+    rng = np.random.RandomState(3)
+    L, M, H, N, g = 3, 4, 256, 384, 128
+    per_layer = [_two_level(rng, H, N, g) for _ in range(L)]
+    w = jnp.stack([p[0] for p in per_layer])
+    mp = jnp.stack([pack_mult_nibbles(p[1]) for p in per_layer])
+    sc = jnp.stack([p[2] for p in per_layer])
+    norm_w = jnp.asarray(rng.rand(L, H).astype(np.float32) + 0.5)
+    x = jnp.asarray(rng.randn(M, H).astype(np.float32) * 0.5)
+
+    for l in range(L):
+        out = fused_norm_qkv_stacked(
+            x, norm_w, w, mp, sc, jnp.asarray(l, jnp.int32), group_size=g,
+            out_dtype=jnp.float32,
+        )
+        ref = fused_norm_qkv_reference(
+            x, norm_w[l], per_layer[l][0], per_layer[l][1], per_layer[l][2],
+            group_size=g,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3
+        )
+
+
+def test_serving_fused_qkv_knob_equivalence(monkeypatch):
+    # FF_FUSED_QKV on vs off through the stacked decode step (CPU: both runs
+    # take the unfused path — guards the wiring, like the fused-layer knob).
+    from fastforward_tpu.models.llama import LlamaConfig
+    from fastforward_tpu.serving.stacked import (
+        StackedKVCache,
+        fuse_stacked_layers,
+        random_stacked_params,
+        serving_forward_stacked,
+    )
+
+    config = LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=64, max_seq_len=64,
+        dtype=jnp.float32,
+    )
+    params, stacked = random_stacked_params(config, mode="w4a8_2l", seed=0)
+    stacked = fuse_stacked_layers(stacked)
+
+    def run():
+        cache = StackedKVCache.create(
+            num_layers=config.num_layers, batch_size=2, max_len=16,
+            num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
+            quantized=True,
+        )
+        ids = jnp.asarray(np.random.RandomState(0).randint(0, 512, (2, 1)))
+        monkeypatch.setenv("FF_KV_STACKED", "force")
+        logits, _ = serving_forward_stacked(params, stacked, config, ids, cache)
+        return np.asarray(logits)
+
+    monkeypatch.setenv("FF_FUSED_QKV", "0")
+    base = run()
+    monkeypatch.setenv("FF_FUSED_QKV", "1")
+    fused = run()
     np.testing.assert_allclose(base, fused, rtol=1e-5, atol=1e-5)

@@ -9,7 +9,6 @@ the reference semantics the TPU kernels are probed against
 (`scripts/tpu_probe_*.py` run the same matrix on hardware).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

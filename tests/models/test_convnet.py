@@ -9,7 +9,6 @@ QuantizedConv and QuantizedRelu end to end, not just the ops.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from flax import nnx
 
 import fastforward_tpu as ff

@@ -3,7 +3,6 @@
 import pytest
 from flax import nnx
 
-import fastforward_tpu as ff
 from fastforward_tpu import mpath, nn as ffnn
 
 

@@ -6,7 +6,6 @@ import pytest
 
 import fastforward_tpu as ff
 from fastforward_tpu import nn as ffnn
-from fastforward_tpu.quantization import affine
 
 
 def test_lazy_params_raise_before_range():

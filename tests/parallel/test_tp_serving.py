@@ -1,6 +1,5 @@
 """shard_map TP serving tests (virtual 8-device CPU mesh)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

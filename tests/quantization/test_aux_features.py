@@ -7,7 +7,7 @@ import pytest
 from flax import nnx
 
 import fastforward_tpu as ff
-from fastforward_tpu import nn as ffnn, ops
+from fastforward_tpu import nn as ffnn
 from fastforward_tpu.quantization.freeze import freeze_parameters, unfreeze
 from fastforward_tpu.quantization.quantizer_annotations import annotate_operator_metadata
 from fastforward_tpu.quantization.random import random_quantized

@@ -281,3 +281,130 @@ def test_autoquant_operator_syntax_on_quantized_array():
     with ff.flags.strict_quantization(False):
         out = model(x)
     assert isinstance(out, ff.QuantizedArray)
+
+
+def test_prebound_import_is_intercepted():
+    # `from jax.nn import gelu` at model-module import time binds the
+    # original function object — the module-globals patch must still see it
+    # (VERDICT r2 item 4b: previously a silent unquantized site).
+    import sys
+    import types
+
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    import fastforward_tpu as ff
+
+    src = """
+from flax import nnx
+from jax.nn import gelu     # pre-bound: patching jax.nn.gelu misses this
+
+class PreboundModel(nnx.Module):
+    def __init__(self, rngs):
+        self.fc = nnx.Linear(8, 8, rngs=rngs)
+
+    def __call__(self, x):
+        return gelu(self.fc(x))
+"""
+    mod = types.ModuleType("_aq_prebound_model")
+    sys.modules["_aq_prebound_model"] = mod
+    try:
+        exec(src, mod.__dict__)
+        model = mod.PreboundModel(nnx.Rngs(0))
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 8).astype(np.float32))
+        with ff.flags.strict_quantization(False):
+            ff.autoquantize(model, x)
+        assert "gelu_0" in model.autoquant_quantizers, dict(
+            model.autoquant_quantizers
+        )
+        # and the pre-bound name is restored after the context
+        assert mod.gelu is __import__("jax").nn.gelu
+    finally:
+        del sys.modules["_aq_prebound_model"]
+
+
+def test_site_count_mismatch_raises():
+    # Data-dependent Python control flow that changes the op-call count
+    # between discovery and apply must fail loudly, not silently misassign
+    # site quantizers.
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    import fastforward_tpu as ff
+    from fastforward_tpu.autoquant import AutoquantSiteMismatch
+
+    class Branchy(nnx.Module):
+        def __init__(self, rngs):
+            self.fc = nnx.Linear(8, 8, rngs=rngs)
+            self.extra = False
+
+        def __call__(self, x):
+            h = jnp.tanh(self.fc(x))
+            if self.extra:
+                h = jnp.tanh(h)
+            return h
+
+    model = Branchy(nnx.Rngs(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8).astype(np.float32))
+    with ff.flags.strict_quantization(False):
+        ff.autoquantize(model, x)
+        model(x)  # same path: fine
+        model.extra = True
+        try:
+            model(x)
+        except AutoquantSiteMismatch as e:
+            assert "tanh" in str(e)
+        else:
+            raise AssertionError("site-count mismatch not detected")
+        # opt-out accepts per-trace assignment
+        model._autoquant_strict_sites = False
+        model(x)
+
+
+def test_sdpa_entry_point_intercepted():
+    # jax.nn.dot_product_attention routes through the quantizer-
+    # parameterized SDPA op with a site output quantizer.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    import fastforward_tpu as ff
+    from fastforward_tpu import granularity
+    from fastforward_tpu.nn import LinearQuantizer
+
+    class Attn(nnx.Module):
+        def __init__(self, rngs):
+            self.fc = nnx.Linear(16, 16, rngs=rngs)
+
+        def __call__(self, x):
+            B, T = x.shape[:2]
+            h = self.fc(x)
+            from fastforward_tpu.quantization.quantized_array import (
+                dequantize_if_quantized as dq,
+            )
+
+            h = dq(h).reshape(B, T, 2, 8)  # (B, T, N, H)
+            return jax.nn.dot_product_attention(h, h, h, is_causal=True)
+
+    model = Attn(nnx.Rngs(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 16).astype(np.float32))
+    with ff.flags.strict_quantization(False):
+        golden = np.asarray(jax.nn.dot_product_attention(
+            jnp.asarray(np.asarray(model.fc(x))).reshape(2, 4, 2, 8),
+        *[jnp.asarray(np.asarray(model.fc(x))).reshape(2, 4, 2, 8)] * 2,
+            is_causal=True,
+        ))
+        ff.autoquantize(model, x)
+    assert "dot_product_attention_0" in model.autoquant_quantizers
+
+    q = LinearQuantizer(num_bits=8, granularity=granularity.PerTensor())
+    q.quantization_range = (-4.0, 4.0)
+    model.autoquant_quantizers["dot_product_attention_0"] = q
+    with ff.flags.strict_quantization(False):
+        out = np.asarray(model(x))
+    # quantized-SDPA output stays close to jax's own implementation
+    assert out.shape == golden.shape
+    np.testing.assert_allclose(out, golden, rtol=0.1, atol=0.1)

@@ -15,7 +15,6 @@ from flax import nnx
 
 from fastforward_tpu.graph import (
     Const,
-    GraphModule,
     ReplayError,
     run_scheduled,
     trace_modules,

@@ -1,7 +1,6 @@
 """Native C++ quantize/pack kernels vs the numpy reference."""
 
 import numpy as np
-import pytest
 
 from fastforward_tpu import native
 from fastforward_tpu.kernels.packing import unpack_int4

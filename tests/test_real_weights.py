@@ -1,0 +1,163 @@
+"""Real-weights regression suite vs HuggingFace torch goldens (slow).
+
+The reference anchors its end-to-end accuracy on pretrained Llama +
+WikiText-2 (`tests/_orchestration/test_gptq_end2end.py:119-179`); this
+environment has zero network egress, so these tests use the documented
+substitute (`fastforward_tpu/testing/hf_golden.py`): HF-format fabricated
+checkpoints, transformers fp32 logits as golden, model-sampled eval data.
+
+Run with: python -m pytest tests/test_real_weights.py --include-slow -q
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+pytest.importorskip("torch")
+pytest.importorskip("transformers")
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def llama_checkpoint(tmp_path_factory):
+    from fastforward_tpu.testing.hf_golden import (
+        fabricate_hf_checkpoint,
+        our_config,
+    )
+
+    out_dir = str(tmp_path_factory.mktemp("hf_llama"))
+    torch_model, hf_cfg = fabricate_hf_checkpoint(out_dir, "tiny")
+    return out_dir, torch_model, hf_cfg, our_config(hf_cfg)
+
+
+def test_llama_loader_vs_hf_golden(llama_checkpoint):
+    """Loader → frozen engine logits vs transformers fp32 (name mapping,
+    transposition, RoPE/GQA/RMSNorm semantics + quantized kernels)."""
+    from fastforward_tpu.serving.engine import serving_forward
+    from fastforward_tpu.serving.loader import load_llama
+    from fastforward_tpu.testing.hf_golden import torch_logits
+
+    out_dir, torch_model, hf_cfg, config = llama_checkpoint
+    ids = np.random.RandomState(0).randint(
+        0, hf_cfg.vocab_size, (2, 48)
+    ).astype(np.int64)
+    golden = torch_logits(torch_model, ids)
+
+    params = load_llama(out_dir, config, mode="w8a8")
+    logits, _ = serving_forward(params, config, jnp.asarray(ids))
+    ours = np.asarray(logits, np.float32)
+    sq = 10 * np.log10((golden ** 2).mean() / ((ours - golden) ** 2).mean())
+    top1 = (ours.argmax(-1) == golden.argmax(-1)).mean()
+    assert sq > 20, f"w8a8 sqnr vs HF golden too low: {sq:.1f} dB"
+    assert top1 > 0.9, f"w8a8 top-1 agreement too low: {top1:.3f}"
+
+
+@pytest.mark.parametrize("act_order", [False, True])
+def test_llama_gptq_beats_rtn(llama_checkpoint, act_order):
+    """Reference e2e protocol: GPTQ W4 perplexity < RTN W4 perplexity on
+    model-natural data (GPTQ calibrated on a separate sampled set)."""
+    from fastforward_tpu import nn as ffnn
+    from fastforward_tpu.algorithms import gptq
+    from fastforward_tpu.algorithms.layerwise import layerwise_optimize_staged
+    from fastforward_tpu.models.llama import LlamaBlock
+    from fastforward_tpu.serving.engine import freeze_llama, serving_forward
+    from fastforward_tpu.serving.loader import load_llama, load_tensors
+    from fastforward_tpu.testing.hf_golden import (
+        nnx_model_from_tensors,
+        ppl_jax,
+        sample_eval_set,
+    )
+
+    out_dir, torch_model, hf_cfg, config = llama_checkpoint
+    eval_ids = sample_eval_set(torch_model, hf_cfg.vocab_size, 4, 48, seed=1)
+    calib_ids = sample_eval_set(torch_model, hf_cfg.vocab_size, 4, 48, seed=2)
+
+    def eval_ppl(params):
+        def fwd(b):
+            logits, _ = serving_forward(params, config, b)
+            return logits
+
+        return ppl_jax(fwd, eval_ids)
+
+    ppl_rtn = eval_ppl(load_llama(out_dir, config, mode="w4a8"))
+
+    sim = nnx_model_from_tensors(load_tensors(out_dir), config)
+    ffnn.quantize_model(sim)
+
+    def forward(model, batch):
+        logits, _ = model(batch)
+        return logits
+
+    layerwise_optimize_staged(
+        sim, [jnp.asarray(calib_ids)], gptq,
+        stages="**/[cls:LlamaBlock]", context={"LlamaBlock": LlamaBlock},
+        forward=forward, num_bits=4, block_size=32, act_order=act_order,
+    )
+    params_gptq = freeze_llama(sim, mode="w4a8", group_size=64)
+    ppl_gptq = eval_ppl(params_gptq)
+    assert ppl_gptq < ppl_rtn, (
+        f"GPTQ (act_order={act_order}) did not beat RTN: "
+        f"{ppl_gptq:.2f} vs {ppl_rtn:.2f}"
+    )
+
+
+def test_gpt2_w8a8_vs_hf_golden():
+    """BASELINE config 2 on the real HF GPT-2 implementation: fp32 parity
+    vs transformers, then W8A8 per-channel with min-max and MSE range
+    calibration — both must stay close to the fp32 perplexity."""
+    import fastforward_tpu as ff
+    from fastforward_tpu import nn as ffnn, range_setting
+    from fastforward_tpu.testing.hf_golden import (
+        fabricate_gpt2_model,
+        nnx_gpt2_from_hf,
+        our_gpt2_config,
+        ppl_jax,
+        ppl_torch,
+        sample_eval_set,
+        torch_logits,
+    )
+
+    torch_model, hf_cfg = fabricate_gpt2_model("tiny")
+    config = our_gpt2_config(hf_cfg)
+    model = nnx_gpt2_from_hf(torch_model, config)
+
+    ids = np.random.RandomState(0).randint(
+        0, hf_cfg.vocab_size, (2, 32)
+    ).astype(np.int64)
+    golden = torch_logits(torch_model, ids)
+    ours = np.asarray(model(jnp.asarray(ids)), np.float32)
+    sq = 10 * np.log10((golden ** 2).mean() / ((ours - golden) ** 2).mean())
+    assert sq > 35, f"fp32 GPT-2 parity vs transformers too low: {sq:.1f} dB"
+
+    eval_ids = sample_eval_set(torch_model, hf_cfg.vocab_size, 4, 32, seed=1)
+    calib_ids = sample_eval_set(torch_model, hf_cfg.vocab_size, 4, 32, seed=2)
+    ppl_fp = ppl_torch(torch_model, eval_ids)
+
+    ffnn.quantize_model(model)
+    qconfig = ff.QuantizationConfig()
+    qconfig.add_rule("**/[quantizer:parameter]", ffnn.LinearQuantizer,
+                     num_bits=8, symmetric=True)
+    qconfig.add_rule("**/[cls:Linear]/[quantizer:parameter/weight]",
+                     ffnn.LinearQuantizer, num_bits=8, symmetric=True,
+                     granularity=ff.PerChannel(1))
+    qconfig.add_rule("**/[quantizer:activation]", ffnn.LinearQuantizer,
+                     num_bits=8, symmetric=False)
+    qconfig.initialize(model)
+
+    ppls = {}
+    for name, estimator in (
+        ("minmax", range_setting.running_minmax),
+        ("mse", range_setting.min_error_grid),
+    ):
+        with ff.strict_quantization(False):
+            with range_setting.estimate_ranges(model, estimator):
+                model(jnp.asarray(calib_ids))
+            ppls[name] = ppl_jax(
+                lambda b: model(b), eval_ids
+            )
+    # Quantization must not blow up perplexity on model-natural data.
+    for name, p in ppls.items():
+        assert p < ppl_fp * 1.5 + 1.0, (
+            f"GPT-2 W8A8 ({name}) ppl {p:.2f} vs fp32 {ppl_fp:.2f}"
+        )

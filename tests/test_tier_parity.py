@@ -4,7 +4,6 @@ external datasets because both tiers run the same weights)."""
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -14,7 +13,7 @@ import fastforward_tpu as ff
 from fastforward_tpu import nn as ffnn
 from fastforward_tpu.models.llama import LlamaConfig, LlamaForCausalLM
 from fastforward_tpu.serving.engine import freeze_llama, serving_forward, quantize_linear
-from fastforward_tpu.utils.evaluation import evaluate_perplexity, perplexity_delta
+from fastforward_tpu.utils.evaluation import perplexity_delta
 
 
 @pytest.fixture(scope="module")

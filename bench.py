@@ -49,7 +49,9 @@ def _build(config, mode, batch, max_len, prefill_len, steps, seed=0):
         quantized=True,
     )
     prefill = jax.jit(
-        lambda p, s, c, ids: serving_forward_stacked(p, s, config, ids, cache=c)
+        lambda p, s, c, ids: serving_forward_stacked(
+            p, s, config, ids, cache=c, logits_positions="last"
+        )
     )
     loop = make_stacked_decode_loop(config, num_steps=steps)
     return params, stacked, cache, prefill, loop
@@ -135,7 +137,12 @@ def main():
     # dots; measured 422 → 466 tok/s (batch 8) / 843 → 923 (batch 32) on
     # Llama-3-8B vs the float-per-group-scale kernel.
     mode = os.environ.get("FF_BENCH_MODE", "w4a8_2l")
-    batch = int(os.environ.get("FF_BENCH_BATCH", "32"))
+    # Default batch 128: decode throughput scales near-linearly with batch
+    # (the weight-streaming GEMV panel traffic is M-independent up to one
+    # MXU tile of rows) — 3,100 -> 6,700 tok/s/chip going 32 -> 128; 128 is
+    # the largest batch whose INT8 KV slab fits next to the 8B weights on
+    # one 16 GB chip (160 OOMs). Measured r3; see docs/performance.md.
+    batch = int(os.environ.get("FF_BENCH_BATCH", "128"))
     steps = int(os.environ.get("FF_BENCH_STEPS", "32"))
     prefill_len = int(os.environ.get("FF_BENCH_PREFILL", "128"))
 

@@ -148,12 +148,12 @@ class ContinuousBatchingEngine:
             from fastforward_tpu.serving.sampling import sample_logits_per_row
 
             logits, small_cache = serving_forward_stacked(
-                params, stacked, cfg, ids, cache=small_cache
+                params, stacked, cfg, ids, cache=small_cache,
+                logits_positions=lengths - 1,
             )
-            last = jnp.take_along_axis(
-                logits, (lengths - 1)[:, None, None], axis=1
-            )[:, 0]
-            nxt = sample_logits_per_row(last, temps, top_ks, top_ps, key)
+            nxt = sample_logits_per_row(
+                logits[:, 0], temps, top_ks, top_ps, key
+            )
             return nxt.astype(jnp.int32), small_cache
 
         @jax.jit

@@ -489,8 +489,13 @@ def serving_forward(
     input_ids: jax.Array,
     cache: Optional[KVCache] = None,
     positions: Optional[jax.Array] = None,
+    logits_positions: str = "all",
 ):
-    """One forward pass; returns (logits, new_cache)."""
+    """One forward pass; returns (logits, new_cache).
+
+    ``logits_positions``: "all" (default), "last" (serving prefill — the
+    (B, T, vocab) fp32 logits are never materialized, the memory cap for
+    large-batch prefill), or a (B,) int array of per-row positions."""
     B, T = input_ids.shape
     nh, nkv, d = config.num_heads, config.num_kv_heads, config.head_dim
     inv_freq = rope_frequencies(config)
@@ -563,6 +568,13 @@ def serving_forward(
         x = x + layer.down_proj(gated * layer.up_proj(h))
 
     x = _rms_norm(x, params.final_norm, config.rms_norm_eps)
+    if isinstance(logits_positions, str):
+        if logits_positions == "last":
+            x = x[:, -1:, :]
+    else:
+        x = jnp.take_along_axis(
+            x, jnp.asarray(logits_positions)[:, None, None], axis=1
+        )
     if params.lm_head is not None:
         logits = params.lm_head(x, out_dtype=jnp.float32)
     else:

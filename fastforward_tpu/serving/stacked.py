@@ -268,8 +268,15 @@ def serving_forward_stacked(
     positions: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
     greedy_head: bool = False,
+    logits_positions: str = "all",
 ):
     """Forward with `lax.scan` over layers. Returns (logits, new_cache).
+
+    ``logits_positions``: "all" (default) or "last" — serving prefill only
+    needs the final position's next-token logits; "last" slices the hidden
+    state before the lm_head so the (B, T, 128k-vocab) fp32 logits tensor
+    is never materialized (at batch 96 × 128-token prompts that tensor
+    alone is 6.3 GB — the difference between fitting and OOM on one chip).
 
     ``tp_axis``: when running inside `shard_map` with Megatron-style TP
     (q/k/v/gate/up column-parallel, o/down row-parallel), the name of the
@@ -518,6 +525,10 @@ def serving_forward_stacked(
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nh * d)
         fused_tail = (
             T == 1
+            # bm > 64: the fused kernel's activation scratch (gu bf16 is
+            # B*2*inter bytes) exceeds the 16 MB scoped-VMEM limit at any
+            # bn — large batches take the unfused per-projection calls.
+            and B * T <= 64
             and tp_axis is None
             and isinstance(layer, FusedServingLayer)
             and layer.o_proj.mode == "w4a8_2l"
@@ -607,6 +618,15 @@ def serving_forward_stacked(
         new_cache = None
 
     x = _rms_norm(x, params.final_norm, eps)
+    if isinstance(logits_positions, str):
+        if logits_positions == "last":
+            x = x[:, -1:, :]
+    else:
+        # per-row positions (e.g. bucketed batch prefill with padded rows):
+        # gather the hidden state BEFORE the lm_head — same memory win.
+        x = jnp.take_along_axis(
+            x, jnp.asarray(logits_positions)[:, None, None], axis=1
+        )
     lm = params.lm_head
     if greedy_head and T == 1 and lm is not None and lm.mode == "w4a8_2l":
         from fastforward_tpu.kernels.matmul import matmul_w4a8_2l_gemv_argmax

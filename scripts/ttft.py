@@ -52,7 +52,9 @@ def main():
         quantized=True,
     )
     prefill = jax.jit(
-        lambda p, s, c, ids: serving_forward_stacked(p, s, config, ids, cache=c)
+        lambda p, s, c, ids: serving_forward_stacked(
+            p, s, config, ids, cache=c, logits_positions="last"
+        )
     )
 
     points = {}

@@ -112,3 +112,37 @@ def test_decode_loop_jit(tiny):
     tokens, cache = loop(params, cache, first)
     assert tokens.shape == (2, 8)
     assert int(cache.length) == 8 + 8
+
+
+def test_logits_positions_slicing():
+    # "last" and per-row gathers must equal the corresponding slices of the
+    # full logits — the (B, T, vocab) tensor just never materializes.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastforward_tpu.models.llama import LlamaConfig
+    from fastforward_tpu.serving.engine import (
+        random_serving_params,
+        serving_forward,
+    )
+
+    config = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, max_seq_len=32,
+        dtype=jnp.float32,
+    )
+    params = random_serving_params(config, mode="w8a8", seed=0)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (3, 8)))
+
+    full, _ = serving_forward(params, config, ids)
+    last, _ = serving_forward(params, config, ids, logits_positions="last")
+    np.testing.assert_allclose(
+        np.asarray(last[:, 0]), np.asarray(full[:, -1]), rtol=1e-5, atol=1e-5
+    )
+    rows = jnp.asarray([1, 4, 7])
+    picked, _ = serving_forward(params, config, ids, logits_positions=rows)
+    np.testing.assert_allclose(
+        np.asarray(picked[:, 0]),
+        np.asarray(full[np.arange(3), np.asarray(rows)]),
+        rtol=1e-5, atol=1e-5,
+    )

@@ -60,9 +60,12 @@ def _build(config, mode, batch, max_len, prefill_len, steps, seed=0):
 def measure_decode(config, mode, batch, prefill_len, steps, seed=0, repeats=2):
     """Return decode tokens/s (batch*steps / loop wall time, best of repeats)."""
     # Round the cache up to a multiple of 256 so the flash-decode kernel's
-    # sequence blocking divides it evenly.
+    # sequence blocking divides it evenly. FF_BENCH_MAXLEN overrides — e.g.
+    # a 2k/8k serving bucket with short live lengths, the regime where
+    # length-aware attention (FF_FLASH_RAGGED) pays.
     max_len = prefill_len + steps * (repeats + 2) + 8
     max_len = ((max_len + 255) // 256) * 256
+    max_len = max(max_len, int(os.environ.get("FF_BENCH_MAXLEN", "0")))
     params, stacked, cache, prefill, loop = _build(
         config, mode, batch, max_len, prefill_len, steps, seed
     )

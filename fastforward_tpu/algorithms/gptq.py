@@ -37,7 +37,10 @@ def calculate_hessian(inputs: jax.Array) -> jax.Array:
     """
     x = inputs.reshape(-1, inputs.shape[-1]).astype(jnp.float32)
     n = x.shape[0]
-    return (2.0 / n) * (x.T @ x)
+    # Pinned precision: on TPU, f32 matmuls run at bf16 MXU precision by
+    # default — enough to visibly degrade the Hessian (measured: GPTQ ppl
+    # 402 on CPU vs 449 on TPU on the real-weights eval until pinned).
+    return (2.0 / n) * jnp.matmul(x.T, x, precision="highest")
 
 
 def invert_hessian(hessian: jax.Array, perc_damp: float = 0.01) -> jax.Array:
@@ -53,8 +56,12 @@ def invert_hessian(hessian: jax.Array, perc_damp: float = 0.01) -> jax.Array:
     hessian = jnp.where(
         jnp.eye(k, dtype=bool), jnp.where(diag > 0, diag + damp, 1.0), hessian
     )
-    hinv = jnp.linalg.inv(hessian.astype(jnp.float32))
-    chol = jnp.linalg.cholesky(hinv)  # lower
+    # default_matmul_precision also pins the matmuls inside linalg.inv /
+    # cholesky (TPU defaults them to bf16 MXU passes — see
+    # calculate_hessian).
+    with jax.default_matmul_precision("highest"):
+        hinv = jnp.linalg.inv(hessian.astype(jnp.float32))
+        chol = jnp.linalg.cholesky(hinv)  # lower
     return chol.T  # upper
 
 
@@ -132,7 +139,9 @@ def _gptq_core(w, hinv_u, scales, num_bits, block_size):
         h_rows = jax.lax.dynamic_slice_in_dim(hinv_u, start, block_size, axis=0)
         row_idx = jnp.arange(in_features)
         tail_mask = (row_idx >= start + block_size).astype(w.dtype)
-        update = (h_rows.T * tail_mask[:, None]) @ errb  # (in, out)
+        update = jnp.matmul(
+            h_rows.T * tail_mask[:, None], errb, precision="highest"
+        )  # (in, out)
         w = w - update
         w = jax.lax.dynamic_update_slice_in_dim(w, wb, start, axis=0)
         return w, qb

@@ -32,6 +32,11 @@ class QuantizerEncoding:
     granularity: Granularity
     symmetric: bool
     data_shape: Optional[tuple[int, ...]] = None
+    # Operator that produced/consumed this quantizer's data, recorded by
+    # `quantization.quantizer_annotations.annotate_operator_metadata`
+    # (reference attaches it to export metadata:
+    # `quantizer_annotations.py:63-99` -> `onnx_export_stages.py:532`).
+    producing_operator: Optional[str] = None
 
 
 class EncodingSchemaHandler(Protocol):
@@ -98,6 +103,8 @@ class V1SchemaHandler:
                 "scale": np.ravel(e.scale).tolist(),
                 "offset": np.ravel(e.offset).tolist() if e.offset is not None
                 else [0.0] * e.scale.size,
+                **({"op": e.producing_operator}
+                   if e.producing_operator else {}),
             })
         return {"version": self.version, "encodings": entries}
 
@@ -134,6 +141,8 @@ class V2SchemaHandler:
                 entry["scale"] = np.ravel(e.scale).tolist()
             if e.offset is not None:
                 entry["offset"] = np.ravel(e.offset).tolist()
+            if e.producing_operator:
+                entry["op"] = e.producing_operator
             entries.append(entry)
         return {"version": self.version, "encodings": entries}
 

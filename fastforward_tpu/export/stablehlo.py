@@ -48,6 +48,9 @@ def collect_encodings(model: Any) -> list[QuantizerEncoding]:
                 granularity=q.granularity,
                 symmetric=q.symmetric,
                 data_shape=getattr(meta, "input_shape", None) if meta else None,
+                producing_operator=(
+                    getattr(meta, "producing_operator", None) if meta else None
+                ),
             )
         )
     return out
@@ -61,6 +64,7 @@ def export(
     schema: str = "v1",
     lpbq: Optional[LPBQProcessor] = None,
     sample_kwargs: Optional[dict] = None,
+    annotate: bool = True,
 ) -> dict[str, str]:
     """Export ``model`` to ``<output_dir>/<name>.stablehlo.mlir`` +
     ``<name>.encodings.json``.
@@ -71,6 +75,16 @@ def export(
     """
     os.makedirs(output_dir, exist_ok=True)
     sample_kwargs = sample_kwargs or {}
+
+    if annotate:
+        # Tag every quantizer with the operator that fed it so the
+        # encodings carry per-op metadata (reference
+        # `quantizer_annotations.py:63-99` -> `onnx_export_stages.py:532`).
+        from fastforward_tpu.quantization.quantizer_annotations import (
+            annotate_operator_metadata,
+        )
+
+        annotate_operator_metadata(model, *sample_args, **sample_kwargs)
 
     def fn(*args, **kwargs):
         with flags.export_mode(True), flags.strict_quantization(False):

@@ -226,6 +226,17 @@ def fused_layer() -> bool:
     return _env_bool("FF_FUSED_LAYER", True)
 
 
+def flash_ragged_mode() -> str:
+    """Length-aware flash decode in the stacked path: one grid step per
+    sequence with a dynamic-trip-count manual-DMA pipeline — O(true length)
+    cache reads instead of O(S). FF_FLASH_RAGGED = auto|1|0. "auto"
+    (default) selects it when the cache slab S >= 1024: measured on 8B
+    batch-64/128 with ~160-token live lengths, ragged is -6% at S=512
+    (n_blocks=1, no DMA overlap to hide), +14% at S=1024, +42% at S=2048
+    (docs/performance.md r3)."""
+    return _os.environ.get("FF_FLASH_RAGGED", "auto")
+
+
 def fused_qkv() -> bool:
     """One-pallas_call input-norm + requant + qkv GEMV layer head in the
     stacked decode loop (FF_FUSED_QKV)."""

@@ -13,6 +13,7 @@ Like the other kernels: XLA reference implementation used on non-TPU
 backends and as the numerical oracle.
 """
 
+import functools
 from typing import Optional
 
 import jax
@@ -388,6 +389,182 @@ def flash_decode_int8_stacked(
         out_shape=jax.ShapeDtypeStruct((B, Hkv, groups, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(scalars, q4, k, k_scale.astype(jnp.float32), v,
+      v_scale.astype(jnp.float32))
+    return out.reshape(B, H, d)
+
+
+def _flash_decode_ragged_kernel(
+    len_ref,   # scalar prefetch: [layer, lengths...] (1+B,)
+    q_ref,     # (1, Hkv, G, d) VMEM
+    k_hbm,     # (L, B, Hkv, S, d) int8 — stays in HBM (pltpu.ANY)
+    ks_hbm,    # (L, B, Hkv, S) f32
+    v_hbm,
+    vs_hbm,
+    out_ref,   # (1, Hkv, G, d) VMEM
+    *,
+    block_s: int,
+    sm_scale: float,
+    n_kv: int,
+    groups: int,
+    d: int,
+):
+    """Length-aware flash decode: O(true length) HBM reads.
+
+    The pipelined-grid variant reads all S blocks regardless of how much
+    of the cache row is live (and the earlier index-map clamp attempt lost
+    to refetch + halved blocks — docs/performance.md "Negative results").
+    This kernel instead runs ONE grid step per sequence and drives its own
+    double-buffered `make_async_copy` pipeline over
+    ceil(length/block_s) blocks — a *dynamic* trip count, so a 160-token
+    row in an S=512 (or 8k) slab moves 160 rows of cache, not S. At
+    batch 128 the whole-S read is ~4.3 GB/step ≈ 40% of the decode step.
+    """
+    b = pl.program_id(0)
+    layer = len_ref[0]
+    length = len_ref[1 + b]
+    n_blocks = jax.lax.div(length + block_s - 1, block_s)
+
+    def scoped(kbuf, ksbuf, vbuf, vsbuf, sems):
+        def copies(slot, i):
+            base = i * block_s
+            return (
+                pltpu.make_async_copy(
+                    k_hbm.at[layer, b, :, pl.ds(base, block_s), :],
+                    kbuf.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    ks_hbm.at[layer, b, :, pl.ds(base, block_s)],
+                    ksbuf.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    v_hbm.at[layer, b, :, pl.ds(base, block_s), :],
+                    vbuf.at[slot], sems.at[slot, 2]),
+                pltpu.make_async_copy(
+                    vs_hbm.at[layer, b, :, pl.ds(base, block_s)],
+                    vsbuf.at[slot], sems.at[slot, 3]),
+            )
+
+        def start(slot, i):
+            for c in copies(slot, i):
+                c.start()
+
+        def wait(slot, i):
+            for c in copies(slot, i):
+                c.wait()
+
+        start(0, 0)
+        q = q_ref[0].astype(jnp.bfloat16)                 # (Hkv, G, d)
+
+        def body(i, carry):
+            m, lsum, acc = carry
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _prefetch():
+                start(jax.lax.rem(i + 1, 2), i + 1)
+
+            wait(slot, i)
+            kf = kbuf[slot].astype(jnp.bfloat16)          # (Hkv, BS, d)
+            scores = jax.lax.dot_general(                 # (Hkv, G, BS)
+                q, kf, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            scores = scores * ksbuf[slot][:, None, :] * sm_scale
+            pos = i * block_s + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 2
+            )
+            scores = jnp.where(pos < length, scores, NEG_INF)
+
+            m_prev = m[:, :, :1]
+            m_cur = jnp.max(scores, axis=2, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(scores - m_new)
+            lsum = lsum * alpha + jnp.sum(p, axis=2, keepdims=True)
+            pv = (p * vsbuf[slot][:, None, :]).astype(jnp.bfloat16)
+            acc = acc * alpha + jax.lax.dot_general(
+                pv, vbuf[slot].astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.broadcast_to(m_new, m.shape), lsum, acc
+
+        m0 = jnp.full((n_kv, groups, 128), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((n_kv, groups, 1), jnp.float32)
+        acc0 = jnp.zeros((n_kv, groups, d), jnp.float32)
+        m, lsum, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+        out_ref[0] = (acc / jnp.maximum(lsum, 1e-20)).astype(out_ref.dtype)
+
+    pl.run_scoped(
+        scoped,
+        kbuf=pltpu.VMEM((2, n_kv, block_s, d), jnp.int8),
+        ksbuf=pltpu.VMEM((2, n_kv, block_s), jnp.float32),
+        vbuf=pltpu.VMEM((2, n_kv, block_s, d), jnp.int8),
+        vsbuf=pltpu.VMEM((2, n_kv, block_s), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2, 4)),
+    )
+
+
+def flash_decode_int8_stacked_ragged(
+    q: jax.Array,          # (B, H, d)
+    k: jax.Array,          # (L, B, Hkv, S, d) int8
+    k_scale: jax.Array,    # (L, B, Hkv, S)
+    v: jax.Array,
+    v_scale: jax.Array,
+    lengths: jax.Array,    # (B,) int32
+    layer: jax.Array,
+    scale: Optional[float] = None,
+    block_s: int = 256,
+) -> jax.Array:
+    """Length-aware variant of `flash_decode_int8_stacked` (FF_FLASH_RAGGED):
+    manual double-buffered DMA with a dynamic per-sequence trip count —
+    cache traffic is O(true length), not O(S). Same math/oracle."""
+    B, H, d = q.shape
+    L, _, Hkv, S, _ = k.shape
+    groups = H // Hkv
+    sm_scale = float(scale if scale is not None else 1.0 / np.sqrt(d))
+
+    from fastforward_tpu.kernels.matmul import _on_tpu
+
+    block_s = _fit_block_s(S, block_s)
+    if not _on_tpu() or groups < 2 or block_s == 0 or d % 128 != 0:
+        kl = jax.lax.dynamic_index_in_dim(k, layer, keepdims=False)
+        ksl = jax.lax.dynamic_index_in_dim(k_scale, layer, keepdims=False)
+        vl = jax.lax.dynamic_index_in_dim(v, layer, keepdims=False)
+        vsl = jax.lax.dynamic_index_in_dim(v_scale, layer, keepdims=False)
+        return flash_decode_int8_reference(q, kl, ksl, vl, vsl, lengths, scale)
+
+    q4 = q.reshape(B, Hkv, groups, d)
+    scalars = jnp.concatenate(
+        [jnp.reshape(layer, (1,)).astype(jnp.int32), lengths.astype(jnp.int32)]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, groups, d), lambda b, Ln: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hkv, groups, d), lambda b, Ln: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_decode_ragged_kernel,
+            block_s=block_s, sm_scale=sm_scale,
+            n_kv=Hkv, groups=groups, d=d,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, groups, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
         ),
     )(scalars, q4, k, k_scale.astype(jnp.float32), v,
       v_scale.astype(jnp.float32))

@@ -424,10 +424,23 @@ def serving_forward_stacked(
                     kc, vc, ks, vs, kq8, vq8,
                     ksc[..., :1], vsc[..., :1], starts, l,
                 )
-                attn = flash_decode_int8_stacked(
-                    q[:, :, 0, :], kc, ks, vc, vs,
-                    lengths=starts + 1, layer=l,
-                )[:, :, None, :]
+                _ragged_mode = flags.flash_ragged_mode()
+                if _ragged_mode == "1" or (
+                    _ragged_mode == "auto" and kc.shape[3] >= 1024
+                ):
+                    from fastforward_tpu.kernels.attention import (
+                        flash_decode_int8_stacked_ragged,
+                    )
+
+                    attn = flash_decode_int8_stacked_ragged(
+                        q[:, :, 0, :], kc, ks, vc, vs,
+                        lengths=starts + 1, layer=l,
+                    )[:, :, None, :]
+                else:
+                    attn = flash_decode_int8_stacked(
+                        q[:, :, 0, :], kc, ks, vc, vs,
+                        lengths=starts + 1, layer=l,
+                    )[:, :, None, :]
                 use_flash = True
             elif kc.dtype == jnp.int8:
                 kq8, ksc = _quantize_kv(k)

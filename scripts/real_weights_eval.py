@@ -88,7 +88,8 @@ def main():
 
     print("[3/4] sampling model-natural eval/calibration set")
     eval_ids = sample_eval_set(torch_model, hf_cfg.vocab_size, 8, 64, seed=1)
-    calib_ids = sample_eval_set(torch_model, hf_cfg.vocab_size, 8, 64, seed=2)
+    n_calib = int(os.environ.get("RW_CALIB_SEQS", "32"))
+    calib_ids = sample_eval_set(torch_model, hf_cfg.vocab_size, n_calib, 64, seed=2)
     ppl_fp = ppl_torch(torch_model, eval_ids)
 
     print(f"[4/4] GPTQ (act_order={act_order}) vs min-max (RTN) W4 perplexity")

@@ -145,3 +145,44 @@ def test_export_pipeline_dag(tmp_path, calibrated_model):
     reg = PipelineRegistry()
     with pytest.raises(ExportError, match="No export pipeline"):
         reg.resolve("qnn", "onnx")
+
+
+def test_export_carries_producing_operator_metadata(tmp_path):
+    # Per-op metadata in exported encodings (reference
+    # `quantizer_annotations.py:63-99` feeding `onnx_export_stages.py:532`).
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    import fastforward_tpu as ff
+    from fastforward_tpu import nn as ffnn
+    from fastforward_tpu.export.stablehlo import export
+
+    class M(nnx.Module):
+        def __init__(self, rngs):
+            self.fc = nnx.Linear(8, 8, rngs=rngs)
+
+        def __call__(self, x):
+            out = self.fc(x)
+            return out.dequantize() if isinstance(out, ff.QuantizedArray) else out
+
+    model = M(nnx.Rngs(0))
+    ffnn.quantize_model(model)
+    cfg = ff.QuantizationConfig()
+    cfg.add_rule("**/[quantizer:parameter/weight]", ffnn.LinearQuantizer,
+                 num_bits=8, symmetric=True)
+    cfg.add_rule("**/[quantizer:activation/output]", ffnn.LinearQuantizer,
+                 num_bits=8, symmetric=False)
+    cfg.initialize(model)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8), jnp.float32)
+    with ff.flags.strict_quantization(False):
+        with ff.estimate_ranges(model, ff.range_setting.running_minmax):
+            model(x)
+        paths = export(model, (x,), str(tmp_path), schema="v1")
+
+    enc = json.loads(open(paths["encodings"]).read())
+    by_name = {e["name"]: e for e in enc["encodings"]}
+    out_q = [e for n, e in by_name.items() if "output_quantizer" in n]
+    assert out_q and out_q[0].get("op") == "linear", by_name

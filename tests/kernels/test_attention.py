@@ -58,3 +58,70 @@ def test_length_masking_ignores_tail():
         jnp.asarray(v8_b), jnp.asarray(vs), jnp.asarray(lengths),
     )
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_flash_decode_ragged_cpu_fallback_matches_reference():
+    # CPU: the ragged entry dispatches to the same reference oracle.
+    import jax.numpy as jnp
+
+    from fastforward_tpu.kernels.attention import (
+        flash_decode_int8_reference,
+        flash_decode_int8_stacked_ragged,
+    )
+
+    rng = np.random.RandomState(0)
+    L, B, H, Hkv, S, d = 2, 3, 8, 2, 512, 128
+    q = jnp.asarray(rng.randn(B, H, d).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randint(-127, 128, (L, B, Hkv, S, d)), jnp.int8)
+    v = jnp.asarray(rng.randint(-127, 128, (L, B, Hkv, S, d)), jnp.int8)
+    ks = jnp.asarray(rng.rand(L, B, Hkv, S).astype(np.float32) * 0.02 + 0.01)
+    vs = jnp.asarray(rng.rand(L, B, Hkv, S).astype(np.float32) * 0.02 + 0.01)
+    lengths = jnp.asarray([1, 160, 512], jnp.int32)
+    for layer in range(L):
+        out = flash_decode_int8_stacked_ragged(
+            q, k, ks, v, vs, lengths, jnp.asarray(layer, jnp.int32)
+        )
+        ref = flash_decode_int8_reference(
+            q, k[layer], ks[layer], v[layer], vs[layer], lengths
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
+        )
+
+
+def test_serving_ragged_knob_wiring(monkeypatch):
+    # FF_FLASH_RAGGED forced on vs off through the stacked decode step on
+    # CPU (both dispatch to reference math — guards the routing).
+    import jax.numpy as jnp
+
+    from fastforward_tpu.models.llama import LlamaConfig
+    from fastforward_tpu.serving.stacked import (
+        StackedKVCache,
+        fuse_stacked_layers,
+        random_stacked_params,
+        serving_forward_stacked,
+    )
+
+    config = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=64, max_seq_len=64,
+        dtype=jnp.float32,
+    )
+    params, stacked = random_stacked_params(config, mode="w4a8_2l", seed=0)
+    stacked = fuse_stacked_layers(stacked)
+
+    def run():
+        cache = StackedKVCache.create(
+            num_layers=2, batch_size=2, max_len=16,
+            num_kv_heads=2, head_dim=64, quantized=True,
+        )
+        ids = jnp.asarray(np.random.RandomState(0).randint(0, 256, (2, 1)))
+        monkeypatch.setenv("FF_KV_STACKED", "force")
+        logits, _ = serving_forward_stacked(params, stacked, config, ids, cache)
+        return np.asarray(logits)
+
+    monkeypatch.setenv("FF_FLASH_RAGGED", "0")
+    base = run()
+    monkeypatch.setenv("FF_FLASH_RAGGED", "1")
+    ragged = run()
+    np.testing.assert_allclose(base, ragged, rtol=1e-5, atol=1e-5)

@@ -48,6 +48,9 @@ class Request:
     sampling: Optional[SamplingParams] = None
     generated: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # Set when the slot's KV row filled before max_new_tokens was reached
+    # and the engine's overflow policy is "truncate".
+    truncated: bool = False
 
 
 def _bucket(n: int, floor: int = 16) -> int:
@@ -69,12 +72,30 @@ class ContinuousBatchingEngine:
         quantized_cache: bool = True,
         sampling=None,
         seed: int = 0,
+        prefill_chunk: int = 256,
+        decode_between_chunks: int = 4,
+        cache_overflow: str = "truncate",
     ):
+        """``prefill_chunk``: prompts longer than this are prefilled in
+        chunks with ``decode_between_chunks`` decode steps for the already-
+        active slots interleaved between chunks — a long admission no longer
+        stalls decode for the whole prompt (VERDICT r2 missing item 5).
+
+        ``cache_overflow``: what happens when a slot's KV row would overflow
+        ``max_len`` — "truncate" finishes the request early (marked
+        ``truncated``), "requeue" preempts it and re-submits prompt+generated
+        as a fresh request (recompute-style preemption; it re-enters through
+        admission, so a future bigger-bucket engine can pick it up)."""
+        if cache_overflow not in ("truncate", "requeue"):
+            raise ValueError(f"unknown cache_overflow policy {cache_overflow}")
         self.config = config
         self.params = params
         self.stacked = stacked_layers
         self.max_batch = max_batch
         self.max_len = max_len
+        self.prefill_chunk = prefill_chunk
+        self.decode_between_chunks = decode_between_chunks
+        self.cache_overflow = cache_overflow
         # engine-wide default; per-request `Request.sampling` overrides
         self.sampling = sampling or SamplingParams(temperature=0.0)
         self._key = jax.random.PRNGKey(seed)
@@ -157,6 +178,25 @@ class ContinuousBatchingEngine:
             return nxt.astype(jnp.int32), small_cache
 
         @jax.jit
+        def _prefill_chunk(params, stacked, small_cache, ids_chunk, offset,
+                           sel_pos, temps, top_ks, top_ps, key):
+            """One chunk of a chunked prefill: appends KV at ``offset`` and
+            samples a candidate next token from per-row ``sel_pos`` (the
+            rows whose prompts END in this chunk keep it)."""
+            from fastforward_tpu.serving.sampling import sample_logits_per_row
+
+            C = ids_chunk.shape[1]
+            logits, small_cache = serving_forward_stacked(
+                params, stacked, cfg, ids_chunk, cache=small_cache,
+                positions=jnp.arange(C) + offset,
+                logits_positions=sel_pos,
+            )
+            nxt = sample_logits_per_row(
+                logits[:, 0], temps, top_ks, top_ps, key
+            )
+            return nxt.astype(jnp.int32), small_cache
+
+        @jax.jit
         def _scatter_row(cache: StackedKVCache, small: StackedKVCache,
                          row, slot):
             def put(big, small_arr):
@@ -178,6 +218,7 @@ class ContinuousBatchingEngine:
         self._decode_step = _decode_step
         self._decode_burst = _decode_burst
         self._prefill_batch = _prefill_batch
+        self._prefill_chunk = _prefill_chunk
         self._scatter_row = _scatter_row
 
     # -- public API ---------------------------------------------------------
@@ -185,6 +226,11 @@ class ContinuousBatchingEngine:
     def submit(self, prompt: list[int], max_new_tokens: int = 32,
                eos_token: Optional[int] = None,
                sampling: Optional[SamplingParams] = None) -> int:
+        if len(prompt) >= self.max_len:
+            raise ValueError(
+                f"prompt length {len(prompt)} >= engine max_len "
+                f"{self.max_len}; raise max_len or truncate the prompt"
+            )
         request = Request(next(self._ids), list(prompt), max_new_tokens,
                           eos_token, sampling)
         self._pending.append(request)
@@ -197,6 +243,7 @@ class ContinuousBatchingEngine:
     def step(self) -> None:
         """Admit pending requests into free slots, then one decode step."""
         self._admit()
+        self._preempt_overflowing(1)
         if self.num_active == 0:
             return
 
@@ -235,6 +282,12 @@ class ContinuousBatchingEngine:
         argument as prompt padding).
         """
         self._admit()
+        self._run_burst(n)
+
+    def _run_burst(self, n: int) -> None:
+        """``n`` decode steps for the currently active slots (no admission —
+        also used to keep decode moving between prefill chunks)."""
+        self._preempt_overflowing(n)
         if self.num_active == 0:
             return
         self._key, sub = jax.random.split(self._key)
@@ -283,6 +336,34 @@ class ContinuousBatchingEngine:
     def _sampling_of(self, request: Request) -> SamplingParams:
         return request.sampling or self.sampling
 
+    def _preempt_overflowing(self, n_steps: int) -> None:
+        """Preempt requests whose KV row would overflow ``max_len`` within
+        the next ``n_steps`` decode appends (checked BEFORE the burst so the
+        single compiled burst program never writes past the slab).
+
+        "truncate": finish the request early, flagged ``truncated``.
+        "requeue": recompute-style preemption — free the slot and re-submit
+        prompt+generated as a fresh pending request (it re-enters through
+        admission; budget already spent is preserved on the Request).
+        """
+        for slot, request in enumerate(self.slot_request):
+            if request is None:
+                continue
+            if int(self.slot_pos[slot]) + n_steps < self.max_len:
+                continue
+            self.slot_request[slot] = None
+            if self.cache_overflow == "requeue" and (
+                len(request.prompt) + len(request.generated) < self.max_len - n_steps
+            ):
+                request.prompt = list(request.prompt) + list(request.generated)
+                # keep .generated (the user-visible completion so far); the
+                # re-prefill replays prompt+generated, decode continues after
+                self._pending.append(request)
+            else:
+                request.done = True
+                request.truncated = True
+                self._done[request.request_id] = request
+
     def _admit(self) -> None:
         free = [s for s in range(self.max_batch)
                 if self.slot_request[s] is None]
@@ -313,13 +394,37 @@ class ContinuousBatchingEngine:
             max_len=self.max_len, num_kv_heads=self.config.num_kv_heads,
             head_dim=self.config.head_dim, quantized=self._quantized_cache,
         )
-        self._key, sub = jax.random.split(self._key)
-        first_tokens, small = self._prefill_batch(
-            self.params, self.stacked, small, jnp.asarray(ids),
-            jnp.asarray(lengths), jnp.asarray(temps), jnp.asarray(top_ks),
-            jnp.asarray(top_ps), sub,
-        )
-        first_tokens = np.asarray(first_tokens)
+        if t_bucket > self.prefill_chunk:
+            # Chunked prefill: append the prompt bucket chunk-by-chunk and
+            # keep decode moving for already-active slots between chunks —
+            # a long admission no longer stalls generation for the whole
+            # prompt. Each chunk samples a candidate next token at
+            # clip(lengths-1-offset) and rows whose prompt ends inside the
+            # chunk keep theirs.
+            chunk = self.prefill_chunk
+            first_tokens = np.zeros((nb,), np.int32)
+            for off in range(0, t_bucket, chunk):
+                self._key, sub = jax.random.split(self._key)
+                sel = np.clip(lengths - 1 - off, 0, chunk - 1)
+                toks, small = self._prefill_chunk(
+                    self.params, self.stacked, small,
+                    jnp.asarray(ids[:, off:off + chunk]), jnp.asarray(off),
+                    jnp.asarray(sel), jnp.asarray(temps),
+                    jnp.asarray(top_ks), jnp.asarray(top_ps), sub,
+                )
+                toks = np.asarray(toks)
+                ends_here = (lengths - 1 >= off) & (lengths - 1 < off + chunk)
+                first_tokens = np.where(ends_here, toks, first_tokens)
+                if off + chunk < t_bucket and self.num_active > 0:
+                    self._run_burst(self.decode_between_chunks)
+        else:
+            self._key, sub = jax.random.split(self._key)
+            first_tokens, small = self._prefill_batch(
+                self.params, self.stacked, small, jnp.asarray(ids),
+                jnp.asarray(lengths), jnp.asarray(temps), jnp.asarray(top_ks),
+                jnp.asarray(top_ps), sub,
+            )
+            first_tokens = np.asarray(first_tokens)
 
         for i, r in enumerate(batch):
             slot = free[i]

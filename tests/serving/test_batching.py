@@ -231,3 +231,87 @@ def test_burst_overrun_slot_reuse(setup):
 
     ref = _reference_generate(config, params, stacked, [9, 1, 2, 3], 5)
     assert out2[r2] == ref
+
+
+def _tiny_engine_setup(max_len=64, **kw):
+    from fastforward_tpu.models.llama import LlamaConfig
+    from fastforward_tpu.serving.batching import ContinuousBatchingEngine
+    from fastforward_tpu.serving.stacked import (
+        fuse_stacked_layers,
+        random_stacked_params,
+    )
+
+    config = LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=32, max_seq_len=256,
+        dtype=jnp.float32,
+    )
+    params, stacked = random_stacked_params(config, mode="w4a8_2l", seed=0)
+    stacked = fuse_stacked_layers(stacked)
+    return ContinuousBatchingEngine(
+        config, params, stacked, max_batch=2, max_len=max_len, **kw
+    )
+
+
+def test_chunked_prefill_matches_single_shot():
+    # GIVEN the same long prompt WHEN prefilled in 16-token chunks vs one
+    # shot THEN greedy generations agree (chunking is a scheduling choice,
+    # not a numerics one).
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(0, 256, (48,)).tolist()
+
+    outs = {}
+    for chunk in (16, 1024):
+        engine = _tiny_engine_setup(max_len=128, prefill_chunk=chunk)
+        rid = engine.submit(prompt, max_new_tokens=6)
+        engine.run_until_complete()
+        outs[chunk] = engine._done[rid].generated
+    assert outs[16] == outs[1024], outs
+
+
+def test_chunked_prefill_interleaves_decode():
+    # An active request keeps generating while a long admission prefills.
+    rng = np.random.RandomState(1)
+    engine = _tiny_engine_setup(
+        max_len=128, prefill_chunk=16, decode_between_chunks=2
+    )
+    first = engine.submit(rng.randint(0, 256, (8,)).tolist(), max_new_tokens=12)
+    engine.step()  # admit + 1 decode step for the first request
+    n_before = len(engine.slot_request[0].generated)
+    # long prompt -> 3 chunks -> 2 interleaved bursts of 2 decode steps
+    engine.submit(rng.randint(0, 256, (48,)).tolist(), max_new_tokens=4)
+    engine._admit()
+    n_after = len(
+        (engine._done.get(first) or engine.slot_request[0]).generated
+    )
+    assert n_after >= n_before + 4, (n_before, n_after)
+
+
+def test_cache_overflow_truncate():
+    rng = np.random.RandomState(2)
+    engine = _tiny_engine_setup(max_len=32, cache_overflow="truncate")
+    rid = engine.submit(
+        rng.randint(0, 256, (16,)).tolist(), max_new_tokens=100
+    )
+    engine.run_until_complete(burst=8)
+    r = engine._done[rid]
+    assert r.truncated and r.done
+    assert 0 < len(r.generated) < 100
+
+
+def test_cache_overflow_requeue_completes():
+    rng = np.random.RandomState(3)
+    engine = _tiny_engine_setup(max_len=32, cache_overflow="requeue")
+    # needs 20 new tokens but the slot overflows at 32; requeue replays
+    # prompt+generated (still < max_len) and finishes the budget
+    rid = engine.submit(rng.randint(0, 256, (4,)).tolist(), max_new_tokens=20)
+    engine.run_until_complete(burst=4)
+    r = engine._done[rid]
+    assert r.done and len(r.generated) == 20, (r.truncated, len(r.generated))
+    assert not r.truncated
+
+
+def test_submit_rejects_oversized_prompt():
+    engine = _tiny_engine_setup(max_len=32)
+    with pytest.raises(ValueError):
+        engine.submit(list(range(40)), max_new_tokens=2)

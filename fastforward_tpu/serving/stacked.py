@@ -341,8 +341,17 @@ def serving_forward_stacked(
     # `FF_KV_STACKED=force` takes this path off-TPU too (reference-oracle
     # fallbacks inside the kernels keep it exact for CPU tests).
     _kv_stacked_env = flags.kv_stacked_mode()
+    from fastforward_tpu.serving.paged import PagedKVCache
+
+    paged = isinstance(cache, PagedKVCache)
+    if paged and T != 1:
+        raise ValueError(
+            "PagedKVCache supports decode-shaped (T == 1) forwards; prefill "
+            "goes through a contiguous cache + scatter_prefill_to_pages"
+        )
     stacked_kv = (
-        cache is not None
+        not paged
+        and cache is not None
         and cache.is_quantized
         and T == 1
         and kv_write == "kernel"
@@ -410,7 +419,29 @@ def serving_forward_stacked(
 
         use_flash = False
         if kc is not None:
-            if stacked_kv:
+            if paged:
+                # Paged pool flow: append through the page table, attend
+                # via the paged ragged kernel — O(true length) traffic with
+                # one scalar page lookup per block
+                # (kernels/paged_attention.py; reference fallbacks keep CPU
+                # exact).
+                from fastforward_tpu.kernels.paged_attention import (
+                    paged_flash_decode_int8,
+                    paged_kv_append_decode_int8,
+                )
+
+                kq8, ksc = _quantize_kv(k)
+                vq8, vsc = _quantize_kv(v)
+                kc, vc, ks, vs = paged_kv_append_decode_int8(
+                    kc, vc, ks, vs, kq8, vq8,
+                    ksc[..., :1], vsc[..., :1], starts, cache.table, l,
+                )
+                attn = paged_flash_decode_int8(
+                    q[:, :, 0, :], kc, ks, vc, vs, cache.table,
+                    lengths=starts + 1, layer=l,
+                )[:, :, None, :]
+                use_flash = True
+            elif stacked_kv:
                 from fastforward_tpu.kernels.attention import (
                     flash_decode_int8_stacked,
                 )
@@ -597,7 +628,7 @@ def serving_forward_stacked(
 
     num_layers = config.num_layers
     layer_ids = jnp.arange(num_layers, dtype=jnp.int32)
-    if cache is not None and stacked_kv:
+    if cache is not None and (stacked_kv or paged):
         def body_stacked(carry, l):
             x, kc, vc, ks, vs = carry
             return layer_body(x, l, kc, vc, ks, vs), ()
@@ -607,9 +638,15 @@ def serving_forward_stacked(
             (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
             layer_ids,
         )
-        new_cache = StackedKVCache(
-            k=kc, v=vc, k_scale=ks, v_scale=vs, length=cache.length + T,
-        )
+        if paged:
+            new_cache = dataclasses.replace(
+                cache, k=kc, v=vc, k_scale=ks, v_scale=vs,
+                length=cache.length + T,
+            )
+        else:
+            new_cache = StackedKVCache(
+                k=kc, v=vc, k_scale=ks, v_scale=vs, length=cache.length + T,
+            )
     elif cache is not None:
         def body_slab(x, per_layer):
             l, kc, vc, ks, vs = per_layer

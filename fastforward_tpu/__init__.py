@@ -88,6 +88,8 @@ __all__ = [
     "strict_quantization",
     "export_mode",
     "use_kernels",
+    "trace_quantization_sites",
+    "JaxprQuantizationPlan",
 ]
 
 
@@ -129,6 +131,12 @@ _LAZY_NAMES = {
     "sqnr": ("fastforward_tpu.utils.metrics", "sqnr"),
     "autoquantize": ("fastforward_tpu.autoquant", "autoquantize"),
     "PatternRule": ("fastforward_tpu.autoquant", "PatternRule"),
+    "trace_quantization_sites": (
+        "fastforward_tpu.autoquant_jaxpr", "trace_quantization_sites",
+    ),
+    "JaxprQuantizationPlan": (
+        "fastforward_tpu.autoquant_jaxpr", "JaxprQuantizationPlan",
+    ),
     "freeze_parameters": ("fastforward_tpu.quantization.freeze", "freeze_parameters"),
     "strict_quantization_for_module": (
         "fastforward_tpu.quantization.strict_quantization",

@@ -237,6 +237,16 @@ def flash_ragged_mode() -> str:
     return _os.environ.get("FF_FLASH_RAGGED", "auto")
 
 
+def flash_bucketed_mode() -> str:
+    """Bucketed-S flash decode in the stacked path: ``lax.switch`` over
+    static block-prefix grids (s_blocks=1..n) picked from the batch's max
+    live length each step, so the whole-S kernel only DMAs live 256-token
+    blocks. FF_FLASH_BUCKETED = auto|1|0. "auto" (default) enables it for
+    slabs 512 <= S < 1024 (the regime the ragged kernel loses: one block
+    per sequence leaves no DMA overlap; a smaller *grid* needs none)."""
+    return _os.environ.get("FF_FLASH_BUCKETED", "auto")
+
+
 def fused_qkv() -> bool:
     """One-pallas_call input-norm + requant + qkv GEMV layer head in the
     stacked decode loop (FF_FUSED_QKV)."""

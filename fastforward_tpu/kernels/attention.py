@@ -278,9 +278,17 @@ def flash_decode_int8_stacked(
     layer: jax.Array,      # scalar int32
     scale: Optional[float] = None,
     block_s: Optional[int] = None,
+    s_blocks: Optional[int] = None,
 ) -> jax.Array:
     """Flash decode reading K/V of layer ``layer`` straight from the stacked
     cache via scalar-prefetch index maps.
+
+    ``s_blocks`` (static) limits the grid to the first ``s_blocks`` KV
+    blocks: the kernel only DMAs that prefix of the slab. Callers that know
+    the batch's max live length (e.g. the decode loop via ``lax.switch``
+    over bucket sizes) use it for O(live) instead of O(S) cache traffic —
+    unlike the failed round-2 index-map clamp, the dead blocks are never in
+    the grid at all, so there is no reliance on revisit DMA elision.
 
     With ``FF_FLASH_CLAMP=1`` the K/V block index maps are clamped to the
     last valid block (``min(s, (length-1)//block_s)``) aiming at O(length)
@@ -301,7 +309,7 @@ def flash_decode_int8_stacked(
     sm_scale = float(scale if scale is not None else 1.0 / np.sqrt(d))
     clamp = flags.flash_clamp()
     if block_s is None:
-        block_s = 256 if clamp else 512
+        block_s = 256 if (clamp or s_blocks is not None) else 512
 
     from fastforward_tpu.kernels.matmul import _on_tpu
 
@@ -314,6 +322,8 @@ def flash_decode_int8_stacked(
         return flash_decode_int8_reference(q, kl, ksl, vl, vsl, lengths, scale)
 
     n_s = pl.cdiv(S, block_s)
+    if s_blocks is not None:
+        n_s = max(1, min(int(s_blocks), n_s))
     q4 = q.reshape(B, Hkv, groups, d)
     scalars = jnp.concatenate(
         [jnp.reshape(layer, (1,)).astype(jnp.int32), lengths.astype(jnp.int32)]

@@ -468,10 +468,38 @@ def serving_forward_stacked(
                         lengths=starts + 1, layer=l,
                     )[:, :, None, :]
                 else:
-                    attn = flash_decode_int8_stacked(
-                        q[:, :, 0, :], kc, ks, vc, vs,
-                        lengths=starts + 1, layer=l,
-                    )[:, :, None, :]
+                    S_slab = kc.shape[3]
+                    _bucket_mode = flags.flash_bucketed_mode()
+                    n_total = S_slab // 256 if S_slab % 256 == 0 else 0
+                    bucketed = _bucket_mode == "1" or (
+                        _bucket_mode == "auto" and 512 <= S_slab < 1024
+                    )
+                    if bucketed and 2 <= n_total <= 4:
+                        # O(live) reads at small slabs: pick the smallest
+                        # static block-prefix grid covering the batch's max
+                        # live length (kernels/attention.py s_blocks).
+                        max_live = jnp.max(starts) + 1
+                        idx = jnp.clip(
+                            (max_live + 255) // 256 - 1, 0, n_total - 1
+                        )
+
+                        def _mk(nb):
+                            def branch(qq, kk, kks, vv, vvs, ln, ll):
+                                return flash_decode_int8_stacked(
+                                    qq, kk, kks, vv, vvs, lengths=ln,
+                                    layer=ll, s_blocks=nb,
+                                )
+                            return branch
+
+                        attn = jax.lax.switch(
+                            idx, [_mk(nb) for nb in range(1, n_total + 1)],
+                            q[:, :, 0, :], kc, ks, vc, vs, starts + 1, l,
+                        )[:, :, None, :]
+                    else:
+                        attn = flash_decode_int8_stacked(
+                            q[:, :, 0, :], kc, ks, vc, vs,
+                            lengths=starts + 1, layer=l,
+                        )[:, :, None, :]
                 use_flash = True
             elif kc.dtype == jnp.int8:
                 kq8, ksc = _quantize_kv(k)

@@ -75,6 +75,9 @@ class ContinuousBatchingEngine:
         prefill_chunk: int = 256,
         decode_between_chunks: int = 4,
         cache_overflow: str = "truncate",
+        paged: bool = False,
+        page_size: int = 256,
+        num_pages: Optional[int] = None,
     ):
         """``prefill_chunk``: prompts longer than this are prefilled in
         chunks with ``decode_between_chunks`` decode steps for the already-
@@ -100,11 +103,47 @@ class ContinuousBatchingEngine:
         self.sampling = sampling or SamplingParams(temperature=0.0)
         self._key = jax.random.PRNGKey(seed)
 
-        self.cache = StackedKVCache.create(
-            num_layers=config.num_layers, batch_size=max_batch, max_len=max_len,
-            num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
-            quantized=quantized_cache,
-        )
+        self.paged = paged
+        self._alloc = None
+        if paged:
+            # Pool-backed KV: memory scales with live tokens, not
+            # max_batch × max_len (docs/performance.md "Paged KV cache").
+            # `num_pages` bounds the pool; when it runs dry the overflow
+            # policy preempts, exactly like slab max_len overflow.
+            from fastforward_tpu.serving.paged import (
+                PagedKVCache,
+                PageAllocator,
+            )
+
+            if max_len % page_size != 0:
+                raise ValueError(
+                    f"max_len {max_len} must be a multiple of "
+                    f"page_size {page_size} for the paged cache"
+                )
+            if not quantized_cache:
+                raise ValueError("paged cache requires quantized_cache=True")
+            mp = max_len // page_size
+            if num_pages is None:
+                num_pages = max_batch * mp + 1  # full coverage; pass less
+                #                                 to actually cap pool memory
+            self.cache = PagedKVCache.create(
+                num_layers=config.num_layers, num_pages=num_pages,
+                batch_size=max_batch, max_pages_per_seq=mp,
+                num_kv_heads=config.num_kv_heads,
+                head_dim=config.head_dim, page_size=page_size,
+            )
+            self._alloc = PageAllocator(num_pages, mp, max_batch)
+            # Page 0 is reserved as the trash page: the kernels clamp
+            # unallocated table entries (-1) to 0, and retired slots keep
+            # decoding garbage until the burst ends / the slot is reused —
+            # their appends must land somewhere that is never live data.
+            self._alloc.free.remove(0)
+        else:
+            self.cache = StackedKVCache.create(
+                num_layers=config.num_layers, batch_size=max_batch,
+                max_len=max_len, num_kv_heads=config.num_kv_heads,
+                head_dim=config.head_dim, quantized=quantized_cache,
+            )
         self._quantized_cache = quantized_cache
 
         # Host-side slot state.
@@ -271,6 +310,8 @@ class ContinuousBatchingEngine:
                 request.done = True
                 self._done[request.request_id] = request
                 self.slot_request[slot] = None
+                if self.paged:
+                    self._alloc.release(slot)
 
     def step_burst(self, n: int) -> None:
         """Admit, then run ``n`` decode steps as ONE device program.
@@ -315,6 +356,10 @@ class ContinuousBatchingEngine:
                     request.done = True
                     self._done[request.request_id] = request
                     self.slot_request[slot] = None
+                    if self.paged:
+                        # safe post-burst: the device already finished its
+                        # overrun appends into this slot's pages
+                        self._alloc.release(slot)
                     # device-side the slot keeps decoding to the end of the
                     # burst; host position tracking must follow
                     self.slot_pos[slot] += toks.shape[0] - 1 - i
@@ -346,12 +391,25 @@ class ContinuousBatchingEngine:
         prompt+generated as a fresh pending request (it re-enters through
         admission; budget already spent is preserved on the Request).
         """
+        table_dirty = False
         for slot, request in enumerate(self.slot_request):
             if request is None:
                 continue
-            if int(self.slot_pos[slot]) + n_steps < self.max_len:
+            fits = int(self.slot_pos[slot]) + n_steps < self.max_len
+            if fits and self.paged:
+                # also grow the slot's page chain to cover the burst; a dry
+                # pool preempts exactly like slab overflow
+                fits = self._alloc.ensure(
+                    slot, int(self.slot_pos[slot]) + n_steps + 1,
+                    self.cache.page_size,
+                )
+                table_dirty = True
+            if fits:
                 continue
             self.slot_request[slot] = None
+            if self.paged:
+                self._alloc.release(slot)
+                table_dirty = True
             if self.cache_overflow == "requeue" and (
                 len(request.prompt) + len(request.generated) < self.max_len - n_steps
             ):
@@ -363,6 +421,10 @@ class ContinuousBatchingEngine:
                 request.done = True
                 request.truncated = True
                 self._done[request.request_id] = request
+        if self.paged and table_dirty:
+            self.cache = dataclasses.replace(
+                self.cache, table=self._alloc.table_array()
+            )
 
     def _admit(self) -> None:
         free = [s for s in range(self.max_batch)
@@ -428,9 +490,29 @@ class ContinuousBatchingEngine:
 
         for i, r in enumerate(batch):
             slot = free[i]
-            self.cache = self._scatter_row(
-                self.cache, small, jnp.asarray(i), jnp.asarray(slot)
-            )
+            if self.paged:
+                from fastforward_tpu.serving.paged import (
+                    scatter_prefill_to_pages,
+                )
+
+                if not self._alloc.ensure(
+                    slot, len(r.prompt) + 1, self.cache.page_size
+                ):
+                    # pool dry: requeue at the front; a later retirement
+                    # releases pages and re-admits it
+                    self._pending.insert(0, r)
+                    continue
+                self.cache = scatter_prefill_to_pages(
+                    self.cache, small.k, small.v, small.k_scale,
+                    small.v_scale, i, self._alloc.pages[slot],
+                )
+                self.cache = dataclasses.replace(
+                    self.cache, table=self._alloc.table_array()
+                )
+            else:
+                self.cache = self._scatter_row(
+                    self.cache, small, jnp.asarray(i), jnp.asarray(slot)
+                )
             token = int(first_tokens[i])
             r.generated.append(token)
             self.slot_request[slot] = r

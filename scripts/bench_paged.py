@@ -80,22 +80,29 @@ def main():
         return np.asarray(toks)
 
     # --- slab flow at the virtual bucket size ------------------------------
-    slab = StackedKVCache.create(
-        num_layers=config.num_layers, batch_size=B, max_len=virt,
-        num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
-        quantized=True,
-    )
-    slab = dataclasses.replace(
-        slab,
-        k=slab.k.at[:, :, :, :seed_s].set(seed_cache.k),
-        v=slab.v.at[:, :, :, :seed_s].set(seed_cache.v),
-        k_scale=slab.k_scale.at[:, :, :, :seed_s].set(seed_cache.k_scale),
-        v_scale=slab.v_scale.at[:, :, :, :seed_s].set(seed_cache.v_scale),
-        length=seed_cache.length + 0,
-    )
-    slab_bytes = slab.k.size * 2 + slab.k_scale.size * 8
-    toks_slab = measure(slab, f"slab  S={virt} ({slab_bytes/2**30:.2f} GiB KV)")
-    del slab
+    # PB_SKIP_SLAB=1 measures paged only: at large B×VIRT the slab does not
+    # even allocate (e.g. 96×2048 ≈ 12.3 GiB KV next to 3.5 GiB weights),
+    # which is precisely the regime paging exists for.
+    toks_slab = None
+    if os.environ.get("PB_SKIP_SLAB", "0") != "1":
+        slab = StackedKVCache.create(
+            num_layers=config.num_layers, batch_size=B, max_len=virt,
+            num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
+            quantized=True,
+        )
+        slab = dataclasses.replace(
+            slab,
+            k=slab.k.at[:, :, :, :seed_s].set(seed_cache.k),
+            v=slab.v.at[:, :, :, :seed_s].set(seed_cache.v),
+            k_scale=slab.k_scale.at[:, :, :, :seed_s].set(seed_cache.k_scale),
+            v_scale=slab.v_scale.at[:, :, :, :seed_s].set(seed_cache.v_scale),
+            length=seed_cache.length + 0,
+        )
+        slab_bytes = slab.k.size * 2 + slab.k_scale.size * 8
+        toks_slab = measure(
+            slab, f"slab  S={virt} ({slab_bytes/2**30:.2f} GiB KV)"
+        )
+        del slab
 
     # --- paged flow: pages for the live tokens only ------------------------
     mp = virt // page
@@ -121,8 +128,9 @@ def main():
     toks_paged = measure(
         paged, f"paged P={num_pages}x{page} ({paged_bytes/2**30:.2f} GiB KV)"
     )
-    agree = (toks_slab == toks_paged).mean()
-    print(f"greedy token agreement slab vs paged: {agree:.4f}")
+    if toks_slab is not None:
+        agree = (toks_slab == toks_paged).mean()
+        print(f"greedy token agreement slab vs paged: {agree:.4f}")
 
 
 if __name__ == "__main__":

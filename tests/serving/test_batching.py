@@ -315,3 +315,43 @@ def test_submit_rejects_oversized_prompt():
     engine = _tiny_engine_setup(max_len=32)
     with pytest.raises(ValueError):
         engine.submit(list(range(40)), max_new_tokens=2)
+
+
+def test_paged_engine_matches_slab(setup):
+    # GIVEN the same request mix through a slab engine and a paged engine
+    config, params, stacked = setup
+    prompts = [[5, 17, 3], [9, 1, 2, 8, 4], [7], [11, 13]]
+
+    def run(paged, **kw):
+        eng = ContinuousBatchingEngine(
+            config, params, stacked, max_batch=2, max_len=64,
+            paged=paged, **kw,
+        )
+        for p in prompts:
+            eng.submit(p, max_new_tokens=6)
+        return eng.run_until_complete()
+
+    slab = run(False)
+    # WHEN paging with 32-token pages (slot reuse across 4 reqs / 2 slots)
+    paged = run(True, page_size=32)
+    # THEN greedy tokens agree request by request
+    assert slab == paged
+
+
+def test_paged_engine_dry_pool_requeues(setup):
+    # GIVEN a pool with room for ~one active sequence (+ trash page)
+    config, params, stacked = setup
+    eng = ContinuousBatchingEngine(
+        config, params, stacked, max_batch=2, max_len=64,
+        paged=True, page_size=32, num_pages=3,
+    )
+    ref = ContinuousBatchingEngine(
+        config, params, stacked, max_batch=2, max_len=64,
+    )
+    for p in ([5, 17, 3], [9, 1, 2, 8]):
+        eng.submit(p, max_new_tokens=5)
+        ref.submit(p, max_new_tokens=5)
+    # WHEN running # THEN both requests still complete (second one waits
+    # for pages) with the same greedy tokens as the unconstrained engine
+    out = eng.run_until_complete()
+    assert out == ref.run_until_complete()

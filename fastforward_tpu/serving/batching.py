@@ -432,6 +432,22 @@ class ContinuousBatchingEngine:
         if not free or not self._pending:
             return
         batch = self._pending[: len(free)]
+        if self.paged:
+            # Only admit the FIFO prefix whose pages fit the pool right
+            # now — otherwise the prefill would run on device and the
+            # ensure() would requeue it anyway (wasted device work).
+            page = self.cache.page_size
+            budget = self._alloc.num_free
+            take = []
+            for r in batch:
+                need = -(-(len(r.prompt) + 1) // page)
+                if need > budget:
+                    break
+                budget -= need
+                take.append(r)
+            batch = take
+            if not batch:
+                return
         del self._pending[: len(batch)]
 
         # one bucketed batch prefill for the whole admission group

@@ -10,10 +10,13 @@ QuantizedCounterpartReplacer, `quantizer_analysis/annotator.py`).
 
 On TPU the idiomatic answer is a **jaxpr pass**: after `jax.make_jaxpr`
 every call — whatever its surface syntax or binding time — is a primitive
-equation, so a small interpreter sees *all* of them. Site identity is the
-deterministic traversal order of the jaxpr (stable across record and apply
-because both walk the same trace), which also removes the data-dependent
-control-flow hazard of call-count-based site IDs: the jaxpr is traced once.
+equation, so a small interpreter sees *all* of them, including equations
+inside ``lax.scan`` / ``lax.while_loop`` / ``lax.cond`` bodies (the
+dominant JAX model idiom — this repo's own serving forward scans over
+layers). Site identity is the deterministic pre-order position in the
+jaxpr tree (stable across record and apply because both walk the same
+trace); a site inside a scan body executes once per iteration and its
+calibration folds a running absmax across all iterations.
 
 Usage::
 
@@ -29,14 +32,14 @@ from typing import Any, Callable, Dict, List, Sequence, Tuple  # noqa: F401
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.extend import core as jax_core
 
 from fastforward_tpu.exceptions import QuantizationError
 
 # Primitives whose array inputs/outputs get quantizer slots. dot_general
-# covers `@`/matmul/einsum after lowering; add/mul cover operator syntax on
-# residual/gating paths; the rest are the elementwise ops the reference's
-# operator table exposes (`_quantops/quantized_operators.yaml`).
+# covers `@`/matmul/einsum after lowering; conv covers conv layers; the set
+# is user-extensible via ``ops=`` (`_quantops/quantized_operators.yaml`).
 DEFAULT_QUANTIZED_PRIMS: Tuple[str, ...] = (
     "dot_general",
     "conv_general_dilated",
@@ -44,6 +47,12 @@ DEFAULT_QUANTIZED_PRIMS: Tuple[str, ...] = (
 
 _CALL_PRIMS = ("jit", "pjit", "closed_call", "custom_jvp_call",
                "custom_vjp_call", "remat", "checkpoint")
+
+# Structured-control-flow primitives get dedicated handling: their bodies
+# are walked for sites in _discover and re-entered (host-loop when
+# calibrating on concrete values, re-staged lax control flow when applying
+# under trace) in _interpret.
+_SCAN, _WHILE, _COND = "scan", "while", "cond"
 
 
 def _sub_jaxpr(eqn) -> Any:
@@ -54,6 +63,14 @@ def _sub_jaxpr(eqn) -> Any:
     return None
 
 
+def _inner(closed_or_jaxpr):
+    return getattr(closed_or_jaxpr, "jaxpr", closed_or_jaxpr)
+
+
+def _consts_of(closed_or_jaxpr):
+    return getattr(closed_or_jaxpr, "consts", ())
+
+
 @dataclasses.dataclass
 class QuantSite:
     """One quantizable equation in traversal order."""
@@ -61,6 +78,8 @@ class QuantSite:
     name: str            # e.g. "dot_general_0"
     prim: str
     in_shapes: Tuple[Tuple[int, ...], ...]
+    # nesting context, e.g. ("scan",) for a site inside one scan body
+    context: Tuple[str, ...] = ()
     # slot -> running absmax (inputs 0..n-1, outputs use key ("out", j))
     absmax: Dict[Any, float] = dataclasses.field(default_factory=dict)
 
@@ -73,6 +92,10 @@ def _is_quantizable(val: Any) -> bool:
     )
 
 
+def _is_concrete(vals) -> bool:
+    return not any(isinstance(v, jax.core.Tracer) for v in jax.tree.leaves(vals))
+
+
 class JaxprQuantizationPlan:
     """Sites + calibration stats for one traced function."""
 
@@ -81,20 +104,37 @@ class JaxprQuantizationPlan:
         self._closed = closed
         self._ops = ops
         self.sites: List[QuantSite] = []
+        # id(jaxpr-like object) -> number of sites inside it (recursively);
+        # the objects stay alive via self._closed.
+        self._counts: Dict[int, int] = {}
         self._discover()
 
     # -- traversal ---------------------------------------------------------
     def _discover(self) -> None:
         counters: Dict[str, int] = {}
 
-        def walk(jaxpr) -> None:
+        def walk(jaxpr, context: Tuple[str, ...]) -> int:
+            n_sites = 0
             for eqn in jaxpr.eqns:
                 pname = eqn.primitive.name
-                sub = _sub_jaxpr(eqn) if pname in _CALL_PRIMS else None
-                if sub is not None:
-                    walk(sub.jaxpr if hasattr(sub, "jaxpr") else sub)
-                    continue
-                if pname in self._ops:
+                if pname in _CALL_PRIMS:
+                    sub = _sub_jaxpr(eqn)
+                    if sub is not None:
+                        n_sites += self._walk_sub(sub, context, walk)
+                        continue
+                if pname == _SCAN:
+                    n_sites += self._walk_sub(
+                        eqn.params["jaxpr"], context + (_SCAN,), walk)
+                elif pname == _WHILE:
+                    n_sites += self._walk_sub(
+                        eqn.params["cond_jaxpr"], context + (_WHILE,), walk)
+                    n_sites += self._walk_sub(
+                        eqn.params["body_jaxpr"], context + (_WHILE,), walk)
+                elif pname == _COND:
+                    for br in eqn.params["branches"]:
+                        n_sites += self._walk_sub(
+                            br, context + (_COND,), walk)
+                elif pname in self._ops:
                     n = counters.get(pname, 0)
                     counters[pname] = n + 1
                     self.sites.append(QuantSite(
@@ -104,18 +144,40 @@ class JaxprQuantizationPlan:
                             tuple(getattr(v.aval, "shape", ()))
                             for v in eqn.invars
                         ),
+                        context=context,
                     ))
+                    n_sites += 1
+            return n_sites
 
-        walk(self._closed.jaxpr)
+        total = walk(self._closed.jaxpr, ())
+        self._counts[id(self._closed.jaxpr)] = total
+
+    def _walk_sub(self, closed, context, walk) -> int:
+        inner = _inner(closed)
+        n = walk(inner, context)
+        self._counts[id(closed)] = n
+        self._counts[id(inner)] = n
+        return n
+
+    def _count(self, closed_or_jaxpr) -> int:
+        return self._counts[id(closed_or_jaxpr)]
 
     def _interpret(self, args, handler):
         """Evaluate the jaxpr, calling ``handler(site, invals) -> invals``
-        and ``handler.out(site, outvals) -> outvals`` on quantized eqns."""
-        flat, in_tree = jax.tree.flatten(args)
-        site_iter = iter(self.sites)
+        and ``handler.out(site, outvals) -> outvals`` on quantized eqns.
 
-        def run(closed_or_jaxpr, consts, in_vals):
-            jaxpr = getattr(closed_or_jaxpr, "jaxpr", closed_or_jaxpr)
+        Sites are addressed by pre-order index so control-flow bodies can
+        re-enter (every iteration of a scan/while hits the same sites) and
+        unselected cond branches are skipped consistently.
+        """
+        flat, in_tree = jax.tree.flatten(args)
+        handler_out = getattr(handler, "out", lambda site, outs: outs)
+        # calibration needs concrete values (it reads float(max|v|));
+        # application works under trace and re-stages lax control flow.
+        concrete_only = bool(getattr(handler, "needs_concrete", False))
+
+        def run(closed_or_jaxpr, consts, in_vals, base):
+            jaxpr = _inner(closed_or_jaxpr)
             env: Dict[Any, Any] = {}
 
             def read(a):
@@ -125,15 +187,31 @@ class JaxprQuantizationPlan:
                 env[v] = c
             for v, a in zip(jaxpr.invars, in_vals):
                 env[v] = a
+            cursor = base
             for eqn in jaxpr.eqns:
                 pname = eqn.primitive.name
                 invals = [read(a) for a in eqn.invars]
                 sub = _sub_jaxpr(eqn) if pname in _CALL_PRIMS else None
                 if sub is not None:
-                    sub_consts = getattr(sub, "consts", ())
-                    outs = run(sub, sub_consts, invals)
+                    outs = run(sub, _consts_of(sub), invals, cursor)
+                    cursor += self._count(sub)
+                elif pname == _SCAN:
+                    outs = self._run_scan(eqn, invals, cursor, run,
+                                          concrete_only)
+                    cursor += self._count(eqn.params["jaxpr"])
+                elif pname == _WHILE:
+                    outs = self._run_while(eqn, invals, cursor, run,
+                                           concrete_only)
+                    cursor += self._count(eqn.params["cond_jaxpr"])
+                    cursor += self._count(eqn.params["body_jaxpr"])
+                elif pname == _COND:
+                    outs = self._run_cond(eqn, invals, cursor, run,
+                                          concrete_only)
+                    for br in eqn.params["branches"]:
+                        cursor += self._count(br)
                 elif pname in self._ops:
-                    site = next(site_iter)
+                    site = self.sites[cursor]
+                    cursor += 1
                     invals = handler(site, invals)
                     outs = eqn.primitive.bind(*invals, **eqn.params)
                     if not eqn.primitive.multiple_results:
@@ -147,16 +225,114 @@ class JaxprQuantizationPlan:
                     env[v] = o
             return [read(v) for v in jaxpr.outvars]
 
-        handler_out = getattr(handler, "out", lambda site, outs: outs)
-        out_flat = run(self._closed.jaxpr, self._closed.consts, flat)
+        out_flat = run(self._closed.jaxpr, self._closed.consts, flat, 0)
         return jax.tree.unflatten(self._closed.out_tree, out_flat)
+
+    # -- control-flow re-entry --------------------------------------------
+    def _run_scan(self, eqn, invals, base, run, concrete_only):
+        p = eqn.params
+        body = p["jaxpr"]
+        nc, ncar = p["num_consts"], p["num_carry"]
+        length, reverse = p["length"], p["reverse"]
+        consts = invals[:nc]
+        carry = list(invals[nc:nc + ncar])
+        xs = invals[nc + ncar:]
+        n_ys = len(_inner(body).outvars) - ncar
+
+        if concrete_only and _is_concrete(invals):
+            # host loop: each iteration re-enters the body at the same site
+            # base, folding per-iteration stats into the same sites
+            ys_steps = []
+            order = range(length - 1, -1, -1) if reverse else range(length)
+            for t in order:
+                x_t = [x[t] for x in xs]
+                outs = run(body, _consts_of(body),
+                           [*consts, *carry, *x_t], base)
+                carry = outs[:ncar]
+                ys_steps.append(outs[ncar:])
+            if reverse:
+                ys_steps.reverse()
+            ys = [jnp.stack([s[i] for s in ys_steps])
+                  for i in range(n_ys)] if ys_steps else [
+                      jnp.zeros((0,) + tuple(v.aval.shape), v.aval.dtype)
+                      for v in _inner(body).outvars[ncar:]]
+            return [*carry, *ys]
+
+        # staged: re-trace the body through the handler into a fresh scan
+        def body_fn(c, x):
+            outs = run(body, _consts_of(body), [*consts, *c, *x], base)
+            return tuple(outs[:ncar]), tuple(outs[ncar:])
+
+        carry_out, ys = lax.scan(
+            body_fn, tuple(carry), tuple(xs), length=length,
+            reverse=reverse, unroll=p.get("unroll", 1),
+        )
+        return [*carry_out, *ys]
+
+    def _run_while(self, eqn, invals, base, run, concrete_only):
+        p = eqn.params
+        cond_j, body_j = p["cond_jaxpr"], p["body_jaxpr"]
+        cn, bn = p["cond_nconsts"], p["body_nconsts"]
+        cconsts = invals[:cn]
+        bconsts = invals[cn:cn + bn]
+        carry = list(invals[cn + bn:])
+        cond_base = base
+        body_base = base + self._count(cond_j)
+
+        if concrete_only and _is_concrete(invals):
+            while bool(run(cond_j, _consts_of(cond_j),
+                           [*cconsts, *carry], cond_base)[0]):
+                carry = run(body_j, _consts_of(body_j),
+                            [*bconsts, *carry], body_base)
+            return carry
+
+        def cond_fn(c):
+            return run(cond_j, _consts_of(cond_j),
+                       [*cconsts, *c], cond_base)[0]
+
+        def body_fn(c):
+            return tuple(run(body_j, _consts_of(body_j),
+                             [*bconsts, *c], body_base))
+
+        return list(lax.while_loop(cond_fn, body_fn, tuple(carry)))
+
+    def _run_cond(self, eqn, invals, base, run, concrete_only):
+        branches = eqn.params["branches"]
+        index, *operands = invals
+        bases = []
+        b = base
+        for br in branches:
+            bases.append(b)
+            b += self._count(br)
+
+        if concrete_only and _is_concrete([index]):
+            i = int(index)
+            i = max(0, min(i, len(branches) - 1))
+            return run(branches[i], _consts_of(branches[i]),
+                       operands, bases[i])
+
+        def make_branch(i):
+            br = branches[i]
+
+            def branch_fn(*ops_):
+                return tuple(run(br, _consts_of(br), list(ops_), bases[i]))
+
+            return branch_fn
+
+        outs = lax.switch(index, [make_branch(i) for i in range(len(branches))],
+                          *operands)
+        return list(outs)
 
     # -- calibration -------------------------------------------------------
     def observe(self, *args: Any) -> Any:
         """Run once on concrete inputs, folding each site's per-slot absmax
-        into the plan (running max across calls). Returns the fn output."""
+        into the plan (running max across calls — and across control-flow
+        iterations: a site inside a scan body observes every iteration).
+        Returns the fn output."""
 
         class _Observer:
+            needs_concrete = True
+
             @staticmethod
             def __call__(site, invals):
                 for i, v in enumerate(invals):
@@ -180,7 +356,9 @@ class JaxprQuantizationPlan:
     def quantized(self, num_bits: int = 8,
                   quantize_outputs: bool = True) -> Callable:
         """A jittable function with symmetric per-tensor QDQ inserted on
-        every calibrated slot (uncalibrated slots pass through)."""
+        every calibrated slot (uncalibrated slots pass through). Control
+        flow is re-staged (scan stays a scan), so the result compiles to
+        the same program structure with QDQ fused into the bodies."""
         if not any(s.absmax for s in self.sites):
             raise QuantizationError(
                 "JaxprQuantizationPlan has no calibration data: call "
@@ -196,6 +374,8 @@ class JaxprQuantizationPlan:
             return (q * scale).astype(v.dtype)
 
         class _Applier:
+            needs_concrete = False
+
             @staticmethod
             def __call__(site, invals):
                 return [
@@ -227,7 +407,8 @@ class JaxprQuantizationPlan:
                     s.absmax.items(), key=lambda kv: str(kv[0])
                 )
             ) or "uncalibrated"
-            lines.append(f"  {s.name} {s.in_shapes} [{cal}]")
+            ctx = ("/".join(s.context) + " ") if s.context else ""
+            lines.append(f"  {s.name} {ctx}{s.in_shapes} [{cal}]")
         return "\n".join(lines)
 
 
@@ -241,7 +422,8 @@ def trace_quantization_sites(
     Unlike the namespace interceptor (`autoquant.py:_patched_namespace`)
     this sees ``x @ w`` / ``x + y`` operator syntax and functions bound via
     ``from jax.nn import gelu`` before any patch context existed — every
-    call is an equation once traced. Reference parity:
+    call is an equation once traced, including inside ``lax.scan`` /
+    ``lax.while_loop`` / ``lax.cond`` bodies. Reference parity:
     `_autoquant/autoquant.py:515-806` cross-function propagation is
     subsumed by tracing through helper calls (they inline into the jaxpr).
     """

@@ -270,6 +270,18 @@ class ContinuousBatchingEngine:
                 f"prompt length {len(prompt)} >= engine max_len "
                 f"{self.max_len}; raise max_len or truncate the prompt"
             )
+        if self.paged:
+            # A request whose prompt can never fit the pool (even with every
+            # other slot retired) would stall admission forever: _admit takes
+            # nothing and run_until_complete spins to max_steps (ADVICE r3).
+            page = self.cache.page_size
+            need = -(-(len(prompt) + 1) // page)
+            pool = self.cache.num_pages - 1  # page 0 is the trash page
+            if need > pool:
+                raise ValueError(
+                    f"prompt needs {need} pages but the pool only has "
+                    f"{pool} allocatable pages; raise num_pages"
+                )
         request = Request(next(self._ids), list(prompt), max_new_tokens,
                           eos_token, sampling)
         self._pending.append(request)
@@ -369,6 +381,19 @@ class ContinuousBatchingEngine:
                            burst: int = 1) -> dict[int, list[int]]:
         steps = 0
         while (self._pending or self.num_active) and steps < max_steps:
+            if self.num_active == 0 and self._pending:
+                # With zero active slots nothing can retire and release
+                # resources, so a failed admission here can never unstick
+                # itself; spinning to max_steps would silently drop the
+                # pending requests (ADVICE r3).
+                self._admit()
+                if self.num_active == 0:
+                    raise RuntimeError(
+                        f"{len(self._pending)} pending request(s) cannot "
+                        "be admitted and no slot is active — the engine "
+                        "cannot make progress (pool too small for the "
+                        "request?)"
+                    )
             if burst > 1:
                 self.step_burst(burst)
             else:
@@ -399,8 +424,11 @@ class ContinuousBatchingEngine:
             if fits and self.paged:
                 # also grow the slot's page chain to cover the burst; a dry
                 # pool preempts exactly like slab overflow
+                # the burst appends at positions pos .. pos+n_steps-1, i.e.
+                # pos+n_steps tokens total (ADVICE r3: +1 over-reserved one
+                # page per slot at exact page boundaries)
                 fits = self._alloc.ensure(
-                    slot, int(self.slot_pos[slot]) + n_steps + 1,
+                    slot, int(self.slot_pos[slot]) + n_steps,
                     self.cache.page_size,
                 )
                 table_dirty = True
@@ -467,9 +495,19 @@ class ContinuousBatchingEngine:
             top_ks[i] = sp.top_k
             top_ps[i] = sp.top_p
 
+        if self.paged:
+            # The admission transient only needs to hold the prompt bucket,
+            # rounded up to a page multiple for the page-granular scatter —
+            # NOT max_len (ADVICE r3: a max_len transient at a 2k bucket
+            # approached the dense-slab footprint paging exists to avoid).
+            page = self.cache.page_size
+            small_len = -(-t_bucket // page) * page
+        else:
+            # slab path: _scatter_row copies whole rows, shapes must match
+            small_len = self.max_len
         small = StackedKVCache.create(
             num_layers=self.config.num_layers, batch_size=nb,
-            max_len=self.max_len, num_kv_heads=self.config.num_kv_heads,
+            max_len=small_len, num_kv_heads=self.config.num_kv_heads,
             head_dim=self.config.head_dim, quantized=self._quantized_cache,
         )
         if t_bucket > self.prefill_chunk:

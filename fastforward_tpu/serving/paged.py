@@ -91,14 +91,24 @@ class PageAllocator:
 
     def ensure(self, slot: int, n_tokens: int, page_size: int) -> bool:
         """Allocate pages so `slot` can hold ``n_tokens``; False if the pool
-        or the per-sequence table is exhausted (caller preempts)."""
+        or the per-sequence table is exhausted (caller preempts).
+
+        Failure rolls back pages allocated by THIS call (pages the slot
+        already held stay) — a dry pool mid-growth must not leak the
+        partial allocation onto a slot that is then requeued without a
+        ``release`` (ADVICE r3: leaked pages permanently shrank the pool).
+        """
         need = -(-n_tokens // page_size)
         if need > self.max_pages_per_seq:
             return False
+        grown = 0
         while len(self.pages[slot]) < need:
             if not self.free:
+                for _ in range(grown):
+                    self.free.append(self.pages[slot].pop())
                 return False
             self.pages[slot].append(self.free.pop())
+            grown += 1
         return True
 
     def release(self, slot: int) -> None:

@@ -107,6 +107,24 @@ def test_allocator_exhaustion_and_release():
     assert alloc.ensure(0, 3 * 128, 128)
     assert alloc.num_free == 1
     assert not alloc.ensure(1, 2 * 128, 128)   # pool exhausted mid-alloc
+    # a failed ensure rolls back its partial allocation — the caller may
+    # requeue the request without ever calling release (ADVICE r3 leak)
+    assert alloc.num_free == 1
+    assert alloc.pages[1] == []
     alloc.release(0)
-    assert alloc.num_free == 3                 # partial alloc of slot 1 kept
+    assert alloc.num_free == 4
     assert alloc.ensure(1, 2 * 128, 128)
+
+
+def test_allocator_rollback_keeps_preexisting_pages():
+    # GIVEN a slot that already holds pages and a nearly-dry pool
+    alloc = PageAllocator(num_pages=5, max_pages_per_seq=4, batch_size=2)
+    assert alloc.ensure(0, 2 * 64, 64)
+    held = list(alloc.pages[0])
+    assert alloc.ensure(1, 2 * 64, 64)
+    assert alloc.num_free == 1
+    # WHEN growing slot 0 by 2 pages when only 1 is free (partial growth)
+    assert not alloc.ensure(0, 4 * 64, 64)
+    # THEN only the pages taken by the failed call are returned
+    assert alloc.pages[0] == held
+    assert alloc.num_free == 1

@@ -109,3 +109,187 @@ def test_summary_lists_sites():
     plan = trace_quantization_sites(lambda a, b: a @ b, x, w)
     assert "dot_general_0" in plan.summary()
     assert "uncalibrated" in plan.summary()
+
+
+# -- control flow (VERDICT r3 missing #1 / ADVICE r3 medium) ----------------
+
+
+def _scan_model(x, ws):
+    """Layer-scanned MLP — the dominant JAX idiom (stacked weights ride xs)."""
+
+    def body(h, w):
+        return jax.nn.tanh(h @ w), ()
+
+    h, _ = jax.lax.scan(body, x, ws)
+    return h
+
+
+def test_sites_inside_scan_found_and_calibrated():
+    # GIVEN a model whose only matmul lives inside a lax.scan body
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 16).astype(np.float32))
+    ws = jnp.asarray(rng.randn(3, 16, 16).astype(np.float32) * 0.3)
+    plan = trace_quantization_sites(_scan_model, x, ws)
+    # THEN the in-scan dot is one site tagged with its scan context
+    assert [s.name for s in plan.sites] == ["dot_general_0"]
+    assert plan.sites[0].context == ("scan",)
+    # AND observe folds absmax across ALL iterations (per-layer weights)
+    ref = plan.observe(x, ws)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(_scan_model(x, ws)), rtol=1e-5, atol=1e-5
+    )
+    per_layer_w_absmax = float(jnp.max(jnp.abs(ws)))
+    assert plan.sites[0].absmax[1] == pytest.approx(per_layer_w_absmax)
+
+
+def test_quantized_scan_stays_a_scan_and_is_jittable():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4, 16).astype(np.float32))
+    ws = jnp.asarray(rng.randn(3, 16, 16).astype(np.float32) * 0.3)
+    plan = trace_quantization_sites(_scan_model, x, ws)
+    ref = plan.observe(x, ws)
+    qfn = plan.quantized(num_bits=8)
+    out = qfn(x, ws)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.2, atol=0.2)
+    assert not np.array_equal(np.asarray(out), np.asarray(ref))
+    # jittable, and the QDQ'd program still contains a scan (not unrolled)
+    jout = jax.jit(qfn)(x, ws)
+    np.testing.assert_allclose(np.asarray(jout), np.asarray(out),
+                               rtol=1e-6, atol=1e-6)
+    jaxpr_str = str(jax.make_jaxpr(qfn)(x, ws))
+    assert "scan" in jaxpr_str
+
+
+def test_sites_inside_cond_branches():
+    # GIVEN dots in BOTH branches of a lax.cond
+    def fn(pred, x, w1, w2):
+        return jax.lax.cond(pred, lambda a: a @ w1, lambda a: a @ w2, x)
+
+    x = jnp.ones((2, 8), jnp.float32)
+    w1 = jnp.full((8, 4), 0.5, jnp.float32)
+    w2 = jnp.full((8, 4), 0.25, jnp.float32)
+    plan = trace_quantization_sites(fn, True, x, w1, w2)
+    assert len(plan.sites) == 2
+    assert all(s.context == ("cond",) for s in plan.sites)
+    # WHEN observing each branch separately
+    ref_t = plan.observe(True, x, w1, w2)
+    ref_f = plan.observe(False, x, w1, w2)
+    np.testing.assert_allclose(np.asarray(ref_t), 4.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref_f), 2.0, rtol=1e-6)
+    # THEN both branches are calibrated and the QDQ'd fn follows the pred
+    qfn = plan.quantized()
+    np.testing.assert_allclose(np.asarray(qfn(True, x, w1, w2)), 4.0,
+                               rtol=0.05)
+    np.testing.assert_allclose(np.asarray(qfn(False, x, w1, w2)), 2.0,
+                               rtol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(qfn)(False, x, w1, w2)), 2.0, rtol=0.05
+    )
+
+
+def test_sites_inside_while_loop():
+    # GIVEN a dot inside a lax.while_loop body
+    def fn(x, w):
+        def cond(state):
+            i, _ = state
+            return i < 3
+
+        def body(state):
+            i, h = state
+            return i + 1, jax.nn.tanh(h @ w)
+
+        _, h = jax.lax.while_loop(cond, body, (0, x))
+        return h
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(8, 8).astype(np.float32) * 0.3)
+    plan = trace_quantization_sites(fn, x, w)
+    assert [s.name for s in plan.sites] == ["dot_general_0"]
+    assert plan.sites[0].context == ("while",)
+    ref = plan.observe(x, w)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fn(x, w)),
+                               rtol=1e-5, atol=1e-5)
+    qfn = plan.quantized()
+    out = qfn(x, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.3, atol=0.3)
+    jout = jax.jit(qfn)(x, w)
+    np.testing.assert_allclose(np.asarray(jout), np.asarray(out),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_nested_scan_in_cond_site_addressing():
+    # GIVEN control-flow nesting (scan inside a cond branch) plus a
+    # top-level dot BEFORE and AFTER — exercises pre-order site addressing
+    def fn(pred, x, w0, ws, w1):
+        h = x @ w0
+
+        def scanned(a):
+            def body(c, w):
+                return c @ w, ()
+
+            out, _ = jax.lax.scan(body, a, ws)
+            return out
+
+        h = jax.lax.cond(pred, scanned, lambda a: a, h)
+        return h @ w1
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8).astype(np.float32))
+    w0 = jnp.asarray(rng.randn(8, 8).astype(np.float32) * 0.3)
+    ws = jnp.asarray(rng.randn(2, 8, 8).astype(np.float32) * 0.3)
+    w1 = jnp.asarray(rng.randn(8, 4).astype(np.float32) * 0.3)
+    plan = trace_quantization_sites(fn, True, x, w0, ws, w1)
+    # 1 top-level + 1 in cond/scan + 1 top-level
+    assert len(plan.sites) == 3
+    contexts = [s.context for s in plan.sites]
+    assert ("cond", "scan") in contexts
+    ref_t = plan.observe(True, x, w0, ws, w1)
+    ref_f = plan.observe(False, x, w0, ws, w1)
+    qfn = plan.quantized()
+    np.testing.assert_allclose(np.asarray(qfn(True, x, w0, ws, w1)),
+                               np.asarray(ref_t), rtol=0.3, atol=0.3)
+    np.testing.assert_allclose(np.asarray(qfn(False, x, w0, ws, w1)),
+                               np.asarray(ref_f), rtol=0.3, atol=0.3)
+    jax.jit(qfn)(True, x, w0, ws, w1)
+
+
+def test_flagship_serving_forward_scan_sites_discovered():
+    # VERDICT r3 acceptance: the jaxpr pass must see inside the repo's OWN
+    # layer-scanned serving forward (serving/stacked.py scans over layers)
+    from fastforward_tpu.models.llama import LlamaConfig
+    from fastforward_tpu.serving.stacked import (
+        StackedKVCache,
+        random_stacked_params,
+        serving_forward_stacked,
+    )
+
+    config = LlamaConfig.tiny()
+    params, stacked = random_stacked_params(config, mode="sim_w8", seed=0)
+    cache = StackedKVCache.create(
+        num_layers=config.num_layers, batch_size=1, max_len=32,
+        num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
+        quantized=False,
+    )
+    ids = jnp.ones((1, 8), jnp.int32)
+
+    def fwd(params, stacked, ids, cache):
+        logits, _ = serving_forward_stacked(
+            params, stacked, config, ids, cache=cache
+        )
+        return logits
+
+    plan = trace_quantization_sites(fwd, params, stacked, ids, cache)
+    in_scan = [s for s in plan.sites if s.context == ("scan",)]
+    # q/k/v proj + 2 attention dots + o/gate/up/down = 9 per-layer sites
+    assert len(in_scan) == 9
+    # plus the lm_head dot outside the scan
+    assert any(s.context == () for s in plan.sites)
+    # AND calibration + application run end to end, jitted
+    ref = plan.observe(params, stacked, ids, cache)
+    qfn = plan.quantized(num_bits=8)
+    out = jax.jit(qfn)(params, stacked, ids, cache)
+    assert np.asarray(out).shape == np.asarray(ref).shape
+    assert np.isfinite(np.asarray(out)).all()

@@ -48,10 +48,14 @@ def _build(config, mode, batch, max_len, prefill_len, steps, seed=0):
         num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
         quantized=True,
     )
+    # Donate the cache: without it prefill holds input AND output slabs
+    # alive simultaneously (2 x 5.5 GiB at batch 160) — the allocation that
+    # capped the r3 batch ceiling at 128.
     prefill = jax.jit(
         lambda p, s, c, ids: serving_forward_stacked(
             p, s, config, ids, cache=c, logits_positions="last"
-        )
+        ),
+        donate_argnums=(2,),
     )
     loop = make_stacked_decode_loop(config, num_steps=steps)
     return params, stacked, cache, prefill, loop
@@ -140,12 +144,13 @@ def main():
     # dots; measured 422 → 466 tok/s (batch 8) / 843 → 923 (batch 32) on
     # Llama-3-8B vs the float-per-group-scale kernel.
     mode = os.environ.get("FF_BENCH_MODE", "w4a8_2l")
-    # Default batch 128: decode throughput scales near-linearly with batch
-    # (the weight-streaming GEMV panel traffic is M-independent up to one
-    # MXU tile of rows) — 3,100 -> 6,700 tok/s/chip going 32 -> 128; 128 is
-    # the largest batch whose INT8 KV slab fits next to the 8B weights on
-    # one 16 GB chip (160 OOMs). Measured r3; see docs/performance.md.
-    batch = int(os.environ.get("FF_BENCH_BATCH", "128"))
+    # Default batch 192: decode throughput scales near-linearly with batch
+    # (the weight-streaming GEMV panel traffic is M-independent) — 3,100 ->
+    # 6,700 -> 8,100 tok/s/chip going 32 -> 128 -> 192. Batches above 128
+    # were unlocked in r4 by the stacked-carry prefill (the slab-prefill
+    # xs/ys temporaries were the OOM) + the GEMV M ceiling at 256; scaling
+    # saturates at 192 (224 measured flat). See docs/performance.md.
+    batch = int(os.environ.get("FF_BENCH_BATCH", "192"))
     steps = int(os.environ.get("FF_BENCH_STEPS", "32"))
     prefill_len = int(os.environ.get("FF_BENCH_PREFILL", "128"))
 

@@ -168,6 +168,15 @@ def kv_stacked_mode() -> str:
     return _env_str("FF_KV_STACKED", "1")
 
 
+def prefill_stacked() -> bool:
+    """Prefill with the KV cache riding the layer-scan carry (in-place
+    block writes) instead of xs/ys slab slices. The slab xs/ys structure
+    costs ~1.5x the cache size in XLA temporaries (measured 6 GiB at 8B
+    batch 128) — the allocation that capped the r3 batch ceiling
+    (FF_PREFILL_STACKED)."""
+    return _env_bool("FF_PREFILL_STACKED", True)
+
+
 def use_flash_attention() -> bool:
     """Flash-decode attention vs XLA dequant attention (FF_BENCH_FLASH)."""
     return _env_bool("FF_BENCH_FLASH", True)

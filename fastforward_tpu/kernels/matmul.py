@@ -297,12 +297,15 @@ def matmul_w4_gemv(
     return out[:M]
 
 
-# Decode-vs-prefill routing threshold for the W4 kernels. 128 = one full
-# MXU tile of batch rows: the weight-streaming GEMV's panel traffic is
-# M-independent up to here, so decode throughput scales near-linearly with
-# batch (batch 32 -> 64 measured +50% tokens/s/chip; VMEM-aware bn capping
-# in the fused tail keeps the scratch within the 16 MB scoped limit).
-_GEMV_MAX_M = 128
+# Decode-vs-prefill routing threshold for the W4 kernels. The
+# weight-streaming GEMV's panel traffic is M-independent (the weight panel
+# dominates), so decode throughput scales near-linearly with batch; above
+# one MXU tile (128 rows) the stationary weights are simply reused for a
+# second MXU pass — still one weight read per step. 256 covers the
+# batch-192 serving point (batch 160/192 unlocked by the stacked-carry
+# prefill, r4); beyond that the activation tiles start crowding VMEM and
+# prefill-style dequant wins anyway.
+_GEMV_MAX_M = 256
 
 
 def _w4a8_gemv_kernel(x_ref, xs_ref, rs_ref, wp_ref, ws_ref, out_ref, acc_ref,

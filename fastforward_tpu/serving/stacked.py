@@ -361,6 +361,20 @@ def serving_forward_stacked(
             or (_kv_stacked_env == "1" and _serving_on_tpu())
         )
     )
+    # Prefill with the cache riding the layer-scan carry: the slab xs/ys
+    # alternative makes XLA hold ~1.5x the cache size in scan temporaries
+    # (measured 6 GiB at 8B batch 128 — the r3 batch-ceiling OOM). The
+    # carry is updated with one in-place dynamic_update_slice block write
+    # per layer; uniform-start prompts only (positions.ndim == 1), which
+    # covers every prefill producer (bench, engine bucketed/chunked).
+    stacked_prefill = (
+        not paged
+        and cache is not None
+        and cache.is_quantized
+        and T > 1
+        and positions.ndim == 1
+        and flags.prefill_stacked()
+    )
 
     def layer_body(x, l, kc, vc, ks, vs):
         # Weights stay in the scan *closure* as loop invariants; only the
@@ -501,6 +515,47 @@ def serving_forward_stacked(
                             lengths=starts + 1, layer=l,
                         )[:, :, None, :]
                 use_flash = True
+            elif stacked_prefill:
+                # Carry-resident prefill append: quantize this layer's new
+                # KV and write it as ONE contiguous block into the stacked
+                # (L, B, Hkv, S, d) carry at (l, :, :, start, :). XLA keeps
+                # the carry buffer in place across the layer scan, so peak
+                # memory is the cache itself — not cache + xs + ys.
+                kq8, ksc = _quantize_kv(k)
+                vq8, vsc = _quantize_kv(v)
+                start0 = starts[0]
+                z = jnp.zeros((), start0.dtype)
+                kc = jax.lax.dynamic_update_slice(
+                    kc, kq8[None].astype(kc.dtype), (l, z, z, start0, z))
+                vc = jax.lax.dynamic_update_slice(
+                    vc, vq8[None].astype(vc.dtype), (l, z, z, start0, z))
+                ks = jax.lax.dynamic_update_slice(
+                    ks, ksc[None].astype(ks.dtype), (l, z, z, start0))
+                vs = jax.lax.dynamic_update_slice(
+                    vs, vsc[None].astype(vs.dtype), (l, z, z, start0))
+                kc_l = jax.lax.dynamic_index_in_dim(kc, l, keepdims=False)
+                vc_l = jax.lax.dynamic_index_in_dim(vc, l, keepdims=False)
+                ks_l = jax.lax.dynamic_index_in_dim(ks, l, keepdims=False)
+                vs_l = jax.lax.dynamic_index_in_dim(vs, l, keepdims=False)
+                from fastforward_tpu.kernels.matmul import _on_tpu
+
+                if (
+                    _on_tpu() and flags.use_flash_prefill()
+                    and d % 128 == 0
+                ):
+                    from fastforward_tpu.kernels.attention import (
+                        flash_prefill,
+                    )
+
+                    attn = flash_prefill(q, kc_l, ks_l, vc_l, vs_l, starts)
+                    use_flash = True
+                else:
+                    k_all = (
+                        kc_l.astype(jnp.float32) * ks_l[..., None]
+                    ).astype(x.dtype)
+                    v_all = (
+                        vc_l.astype(jnp.float32) * vs_l[..., None]
+                    ).astype(x.dtype)
             elif kc.dtype == jnp.int8:
                 kq8, ksc = _quantize_kv(k)
                 vq8, vsc = _quantize_kv(v)
@@ -656,7 +711,7 @@ def serving_forward_stacked(
 
     num_layers = config.num_layers
     layer_ids = jnp.arange(num_layers, dtype=jnp.int32)
-    if cache is not None and (stacked_kv or paged):
+    if cache is not None and (stacked_kv or paged or stacked_prefill):
         def body_stacked(carry, l):
             x, kc, vc, ks, vs = carry
             return layer_body(x, l, kc, vc, ks, vs), ()

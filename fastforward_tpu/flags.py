@@ -198,8 +198,31 @@ def flash_clamp() -> bool:
 
 
 def fused_argmax() -> bool:
-    """Fused GEMV+argmax greedy lm_head (FF_FUSED_ARGMAX)."""
-    return _env_bool("FF_FUSED_ARGMAX", False)
+    """Fused GEMV+argmax greedy lm_head (FF_FUSED_ARGMAX).
+
+    Default ON since r4: bit-identical tokens, neutral at batch 8/32, but
+    +3-4% at batch 192 (8,100 -> 8,389 tok/s/chip) — the (B, 128k) fp32
+    logits tensor is 98 MB at batch 192 and its write+read+argmax round
+    trip stops being noise once the per-layer costs amortize over large
+    batches."""
+    return _env_bool("FF_FUSED_ARGMAX", True)
+
+
+def fused_ogu() -> bool:
+    """Large-batch split-fused layer tail: o_proj + residual + norm +
+    requant + gate/up in ONE pallas_call (silu/requant/down stay outside).
+    Applies where the full fused tail cannot fit VMEM (bm > 64); removes
+    the o->gateup call boundary + the norm/requant XLA glue
+    (FF_FUSED_OGU)."""
+    return _env_bool("FF_FUSED_OGU", False)
+
+
+def flash_ragged_xseq() -> bool:
+    """Cross-sequence DMA pipelining in the ragged flash-decode kernel:
+    scratch-resident double buffers + a global block counter keep the next
+    sequence's first block in flight while the current one computes, so the
+    pipeline never drains at sequence boundaries (FF_RAGGED_XSEQ)."""
+    return _env_bool("FF_RAGGED_XSEQ", True)
 
 
 def two_level_skipfold() -> bool:

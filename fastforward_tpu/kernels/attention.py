@@ -515,6 +515,123 @@ def _flash_decode_ragged_kernel(
     )
 
 
+def _flash_decode_ragged_xseq_kernel(
+    len_ref,   # scalar prefetch: [layer, lengths...] (1+B,)
+    q_ref,     # (1, Hkv, G, d) VMEM
+    k_hbm,     # (L, B, Hkv, S, d) int8 — stays in HBM (pltpu.ANY)
+    ks_hbm,    # (L, B, Hkv, S) f32
+    v_hbm,
+    vs_hbm,
+    out_ref,   # (1, Hkv, G, d) VMEM
+    kbuf, ksbuf, vbuf, vsbuf,   # scratch (2, Hkv, BS[, d]) — persist across
+    cnt_ref,                    # SMEM (1,) global block counter
+    sems,                       # DMA sems (2, 4)
+    *,
+    block_s: int,
+    sm_scale: float,
+    n_kv: int,
+    groups: int,
+    d: int,
+    n_seqs: int,
+):
+    """Ragged flash decode with CROSS-SEQUENCE DMA pipelining.
+
+    The per-sequence double buffer of `_flash_decode_ragged_kernel` has
+    nothing to overlap when a sequence's live length fits one block — the
+    serving bucket regime (S=512, live ≤ 256) degenerates to a serial
+    DMA-wait-compute chain per grid step (measured −6% vs the pipelined
+    whole-S grid, docs/performance.md r3). Here the buffers, semaphores,
+    and a global block counter live in pallas scratch, which PERSISTS
+    across grid steps: while sequence b computes its last block, the DMA
+    for sequence b+1's first block is already in flight — the pipeline
+    never drains at sequence boundaries, restoring whole-grid overlap
+    while keeping O(true length) traffic.
+    """
+    b = pl.program_id(0)
+    layer = len_ref[0]
+    length = len_ref[1 + b]
+    n_blocks = jax.lax.div(length + block_s - 1, block_s)
+
+    def copies(slot, seq, i):
+        base = i * block_s
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[layer, seq, :, pl.ds(base, block_s), :],
+                kbuf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                ks_hbm.at[layer, seq, :, pl.ds(base, block_s)],
+                ksbuf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                v_hbm.at[layer, seq, :, pl.ds(base, block_s), :],
+                vbuf.at[slot], sems.at[slot, 2]),
+            pltpu.make_async_copy(
+                vs_hbm.at[layer, seq, :, pl.ds(base, block_s)],
+                vsbuf.at[slot], sems.at[slot, 3]),
+        )
+
+    def start(slot, seq, i):
+        for c in copies(slot, seq, i):
+            c.start()
+
+    def wait(slot, seq, i):
+        for c in copies(slot, seq, i):
+            c.wait()
+
+    @pl.when(b == 0)
+    def _first():
+        cnt_ref[0] = 0
+        start(0, 0, 0)
+
+    cnt0 = cnt_ref[0]
+    q = q_ref[0].astype(jnp.bfloat16)                 # (Hkv, G, d)
+
+    def body(i, carry):
+        m, lsum, acc = carry
+        slot = jax.lax.rem(cnt0 + i, 2)
+        nxt = jax.lax.rem(cnt0 + i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _prefetch_same_seq():
+            start(nxt, b, i + 1)
+
+        @pl.when((i + 1 == n_blocks) & (b + 1 < n_seqs))
+        def _prefetch_next_seq():
+            start(nxt, b + 1, 0)
+
+        wait(slot, b, i)
+        kf = kbuf[slot].astype(jnp.bfloat16)          # (Hkv, BS, d)
+        scores = jax.lax.dot_general(                 # (Hkv, G, BS)
+            q, kf, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores * ksbuf[slot][:, None, :] * sm_scale
+        pos = i * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 2
+        )
+        scores = jnp.where(pos < length, scores, NEG_INF)
+
+        m_prev = m[:, :, :1]
+        m_cur = jnp.max(scores, axis=2, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        lsum = lsum * alpha + jnp.sum(p, axis=2, keepdims=True)
+        pv = (p * vsbuf[slot][:, None, :]).astype(jnp.bfloat16)
+        acc = acc * alpha + jax.lax.dot_general(
+            pv, vbuf[slot].astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.broadcast_to(m_new, m.shape), lsum, acc
+
+    m0 = jnp.full((n_kv, groups, 128), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((n_kv, groups, 1), jnp.float32)
+    acc0 = jnp.zeros((n_kv, groups, d), jnp.float32)
+    m, lsum, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    out_ref[0] = (acc / jnp.maximum(lsum, 1e-20)).astype(out_ref.dtype)
+    cnt_ref[0] = cnt0 + n_blocks
+
+
 def flash_decode_int8_stacked_ragged(
     q: jax.Array,          # (B, H, d)
     k: jax.Array,          # (L, B, Hkv, S, d) int8
@@ -548,6 +665,17 @@ def flash_decode_int8_stacked_ragged(
     scalars = jnp.concatenate(
         [jnp.reshape(layer, (1,)).astype(jnp.int32), lengths.astype(jnp.int32)]
     )
+    xseq = flags.flash_ragged_xseq()
+    scratch = []
+    if xseq:
+        scratch = [
+            pltpu.VMEM((2, Hkv, block_s, d), jnp.int8),
+            pltpu.VMEM((2, Hkv, block_s), jnp.float32),
+            pltpu.VMEM((2, Hkv, block_s, d), jnp.int8),
+            pltpu.VMEM((2, Hkv, block_s), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
@@ -563,14 +691,23 @@ def flash_decode_int8_stacked_ragged(
             (1, Hkv, groups, d), lambda b, Ln: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[],
+        scratch_shapes=scratch,
     )
-    out = pl.pallas_call(
+    body = (
         functools.partial(
+            _flash_decode_ragged_xseq_kernel,
+            block_s=block_s, sm_scale=sm_scale,
+            n_kv=Hkv, groups=groups, d=d, n_seqs=B,
+        )
+        if xseq
+        else functools.partial(
             _flash_decode_ragged_kernel,
             block_s=block_s, sm_scale=sm_scale,
             n_kv=Hkv, groups=groups, d=d,
-        ),
+        )
+    )
+    out = pl.pallas_call(
+        body,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, groups, d), q.dtype),
         compiler_params=pltpu.CompilerParams(

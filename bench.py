@@ -126,11 +126,18 @@ def measure_engine(config, mode, batch, steps, seed=0):
     from fastforward_tpu.serving.batching import EngineStats
 
     engine.stats = EngineStats()  # measured loop only (warmup excluded)
+    # FF_BENCH_ENGINE_SAT=1: all requests queued upfront — measures the
+    # scheduler at saturation (slot occupancy under full load) instead of
+    # the default trickle trace (one arrival per burst window), which is
+    # admission-limited by construction (occupancy ~= a few slots).
+    saturated = os.environ.get("FF_BENCH_ENGINE_SAT") == "1"
     t0 = time.perf_counter()
     submitted = 0
     while submitted < len(arrivals) or engine.num_active or engine._pending:
-        if submitted < len(arrivals):
-            # one new arrival per burst window (mixed arrivals)
+        take = len(arrivals) - submitted if saturated else min(
+            1, len(arrivals) - submitted
+        )
+        for _ in range(take):
             engine.submit(arrivals[submitted], max_new_tokens=steps)
             submitted += 1
         engine.step_burst(burst)

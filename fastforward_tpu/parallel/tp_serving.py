@@ -123,9 +123,33 @@ def paged_cache_specs(cache, data_axis: str = "data"):
     )
 
 
+def _ensure_unfused(stacked, config=None):
+    """TP column-parallel sharding must split q/k/v and gate/up separately —
+    a plain N-shard of the concatenated qkv would scatter q columns across
+    k/v shards. Auto-unfuse fused decode layers (exact column split)."""
+    from fastforward_tpu.serving.stacked import (
+        FusedServingLayer,
+        unfuse_stacked_layers,
+    )
+
+    if not isinstance(stacked, FusedServingLayer):
+        return stacked
+    if config is None:
+        raise ValueError(
+            "fused stacked layers need `config` to unfuse for TP; pass "
+            "config= or call serving.stacked.unfuse_stacked_layers first"
+        )
+    return unfuse_stacked_layers(stacked, config)
+
+
 def shard_for_tp(params: ServingParams, stacked: ServingLayer,
-                 cache: StackedKVCache, mesh: Mesh, data_axis: str = "data"):
-    """Place params/stacked/cache on the mesh with the TP layout."""
+                 cache: StackedKVCache, mesh: Mesh, data_axis: str = "data",
+                 config=None):
+    """Place params/stacked/cache on the mesh with the TP layout.
+
+    Accepts a `FusedServingLayer` too (pass ``config``): it is unfused
+    exactly before sharding — see `_ensure_unfused`."""
+    stacked = _ensure_unfused(stacked, config)
     def put(tree, specs):
         return jax.tree.map(
             lambda x, s: x if x is None else jax.device_put(x, NamedSharding(mesh, s)),
@@ -163,6 +187,7 @@ def make_tp_decode_step(config: LlamaConfig, mesh: Mesh, stacked: ServingLayer,
         raise ValueError(
             f"num_kv_heads={config.num_kv_heads} must divide over tp={tp}"
         )
+    stacked = _ensure_unfused(stacked, config)
     local_config = dataclasses.replace(
         config,
         num_heads=config.num_heads // tp,

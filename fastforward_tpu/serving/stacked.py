@@ -162,6 +162,47 @@ def fuse_stacked_layers(stacked) -> FusedServingLayer:
     )
 
 
+def unfuse_stacked_layers(fused: FusedServingLayer,
+                          config: LlamaConfig) -> "ServingLayer":
+    """Inverse of `fuse_stacked_layers`: split the concatenated qkv and
+    gate/up projections back into per-projection `QuantLinear`s.
+
+    N-column slicing is exact for every at-rest layout (packed nibbles,
+    scales, and multipliers are all column-independent). Needed by the TP
+    path: Megatron column-parallel sharding must split q/k/v and gate/up
+    *separately* (a plain N-shard of the concatenated qkv would scatter q
+    columns across k/v shards), so `shard_for_tp`/`make_tp_decode_step`
+    auto-unfuse (`parallel/tp_serving.py`).
+    """
+    import dataclasses as _dc
+
+    from fastforward_tpu.serving.engine import ServingLayer
+
+    nh, nkv, d = config.num_heads, config.num_kv_heads, config.head_dim
+    inter = config.intermediate_size
+
+    def split(ql, sizes):
+        outs, n0 = [], 0
+        for n in sizes:
+            sl = lambda a: None if a is None else a[..., n0:n0 + n]
+            outs.append(_dc.replace(
+                ql, data=sl(ql.data), scale=sl(ql.scale),
+                mult=sl(ql.mult), mult_packed=None,
+                in_scale=ql.in_scale,
+            ))
+            n0 += n
+        return outs
+
+    q, k, v = split(fused.qkv_proj, [nh * d, nkv * d, nkv * d])
+    gate, up = split(fused.gateup_proj, [inter, inter])
+    strip = lambda ql: _dc.replace(ql, mult_packed=None)
+    return ServingLayer(
+        q_proj=q, k_proj=k, v_proj=v, o_proj=strip(fused.o_proj),
+        gate_proj=gate, up_proj=up, down_proj=strip(fused.down_proj),
+        input_norm=fused.input_norm, post_norm=fused.post_norm,
+    )
+
+
 def random_stacked_params(config: LlamaConfig, mode: str = "w4a8",
                           group_size: int = 128, seed: int = 0):
     """Random (params, stacked_layers) with layer weights generated directly

@@ -175,3 +175,60 @@ def test_tp_paged_decode_matches_single_device(config):
     k_new = np.asarray(new_cache.k)
     for b, row in enumerate(global_tables):
         assert np.abs(k_new[:, row[0], :, 6, :].astype(np.int32)).sum() > 0
+
+
+def test_tp_accepts_fused_layers_via_unfuse(config):
+    """shard_for_tp/make_tp_decode_step auto-unfuse FusedServingLayer
+    (exact column split) — TP serving works straight off the decode-
+    optimized fused form."""
+    from fastforward_tpu.serving.stacked import (
+        fuse_stacked_layers,
+        unfuse_stacked_layers,
+    )
+
+    params, stacked = random_stacked_params(
+        config, mode="w4a8_2l", seed=0, group_size=32
+    )
+    fused = fuse_stacked_layers(stacked)
+    # exact inverse: every projection slices back bit-identically
+    back = unfuse_stacked_layers(fused, config)
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj",
+                 "gate_proj", "up_proj", "down_proj"):
+        a, b = getattr(back, name), getattr(stacked, name)
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+        np.testing.assert_array_equal(np.asarray(a.scale), np.asarray(b.scale))
+        if b.mult is not None:
+            np.testing.assert_array_equal(
+                np.asarray(a.mult), np.asarray(b.mult))
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    batch = 2
+    cache = StackedKVCache.create(
+        num_layers=config.num_layers, batch_size=batch, max_len=16,
+        num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
+        quantized=True,
+    )
+    tokens = jnp.asarray(np.random.RandomState(0).randint(0, 256, (batch, 1)))
+
+    # fused layers straight into the TP path (config enables the unfuse)
+    p, s, c = shard_for_tp(params, fused, cache, mesh, config=config)
+    step = make_tp_decode_step(config, mesh, fused, params, cache)
+    logits, _ = step(p, s, c, tokens, jnp.asarray([0]))
+
+    ref_logits, _ = serving_forward_stacked(
+        params, stacked, config, tokens,
+        cache=StackedKVCache.create(
+            num_layers=config.num_layers, batch_size=batch, max_len=16,
+            num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
+            quantized=True,
+        ),
+        positions=jnp.asarray([0]),
+    )
+    agree = (
+        np.asarray(logits).argmax(-1) == np.asarray(ref_logits).argmax(-1)
+    ).mean()
+    assert agree > 0.9
+
+    # without config, fused layers are a clear error
+    with pytest.raises(ValueError, match="unfuse"):
+        shard_for_tp(params, fused, cache, mesh)

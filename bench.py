@@ -104,8 +104,16 @@ def measure_engine(config, mode, batch, steps, seed=0):
     params, stacked = random_stacked_params(config, mode=mode, seed=seed)
     if os.environ.get("FF_BENCH_FUSED", "1") == "1" and not mode.startswith("sim"):
         stacked = fuse_stacked_layers(stacked)
+    # FF_BENCH_ENGINE_PAGED=1: run the whole admission->decode lifecycle on
+    # the page pool (pages for live tokens only; pool sized to ~60% of the
+    # slab equivalent to exercise allocation pressure).
+    paged = os.environ.get("FF_BENCH_ENGINE_PAGED") == "1"
+    kw = {}
+    if paged:
+        kw = dict(paged=True, page_size=256,
+                  num_pages=int(batch * 2 * 0.6) + 1)
     engine = ContinuousBatchingEngine(
-        config, params, stacked, max_batch=batch, max_len=512,
+        config, params, stacked, max_batch=batch, max_len=512, **kw,
     )
     rng = np.random.RandomState(0)
     arrivals = []

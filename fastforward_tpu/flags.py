@@ -295,7 +295,11 @@ def two_level_preblock() -> bool:
 
 def two_level_buffers() -> int:
     """Pipeline buffer count for the stacked GEMV weight operand
-    (FF_2L_BUFFERS, default 2 = plain double buffering)."""
+    (FF_2L_BUFFERS, default 2 = plain double buffering).
+
+    KNOWN-BROKEN above 2 on this toolchain: `pl.Buffered` pipeline_mode
+    dies inside pallas lowering (KeyError 'closed_call', r4) — deeper
+    weight buffering needs a manual-DMA kernel instead."""
     return _env_int("FF_2L_BUFFERS", 2)
 
 

@@ -303,6 +303,14 @@ def two_level_buffers() -> int:
     return _env_int("FF_2L_BUFFERS", 2)
 
 
+def two_level_manual_bufs() -> int:
+    """Manual multi-buffered weight DMA for the stacked 2L GEMV: number of
+    scratch panel slots, 0 = off (FF_2L_MANUAL). Requires the preblocked
+    (L, N//bn, K//2, bn) weight layout; see
+    `_w4a8_2l_gemv_stacked_manual_kernel`."""
+    return _env_int("FF_2L_MANUAL", 0)
+
+
 def two_level_lookahead() -> bool:
     """Enable pipeline lookahead on the stacked GEMV weight operand
     (FF_2L_LOOKAHEAD)."""

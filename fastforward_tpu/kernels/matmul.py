@@ -875,6 +875,76 @@ def _w4a8_2l_gemv_stacked_kernel(
     ).astype(out_ref.dtype)
 
 
+def _w4a8_2l_gemv_stacked_manual_kernel(
+    l_ref,            # scalar prefetch (1,) int32 — layer id
+    x_ref, xs_ref,    # VMEM (bm, K) int8, (bm, 1) f32
+    w_hbm,            # (L, NB, Kh, bn) int8 preblocked — stays in HBM
+    m_ref, sc_ref,    # auto-pipelined (1, n_pack, bn) i32, (1, 1, bn) f32
+    out_ref,          # (bm, bn)
+    wbuf,             # scratch (nbuf, Kh, bn) int8 — persists across steps
+    sems,             # DMA semaphores (nbuf,)
+    *, n_groups: int, group: int, nbuf: int, n_panels: int,
+):
+    """Manual multi-buffered weight stream for the stacked 2L GEMV.
+
+    The grid auto-pipeline double-buffers the weight panel and measured a
+    537 GB/s ceiling vs ~930 sequential-read (docs/performance.md r2);
+    `pl.Buffered` (deeper auto buffering) dies in lowering on this
+    toolchain. This kernel DMAs the preblocked contiguous panels itself
+    with ``nbuf`` scratch slots: at step j it starts panel j+nbuf-1 into
+    the slot freed at step j-1, then waits panel j — up to nbuf-1 panels
+    in flight during every compute step, across the whole grid (the
+    scratch-persistence pattern proven by the ragged xseq kernel).
+    """
+    j = pl.program_id(0)
+    layer = l_ref[0]
+
+    def cp(slot, panel):
+        return pltpu.make_async_copy(
+            w_hbm.at[layer, panel], wbuf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(j == 0)
+    def _warmup():
+        for b in range(nbuf - 1):
+            if b < n_panels:
+                cp(b % nbuf, b).start()
+
+    nxt = j + nbuf - 1
+
+    @pl.when(nxt < n_panels)
+    def _prefetch():
+        cp(jax.lax.rem(nxt, nbuf), nxt).start()
+
+    cp(jax.lax.rem(j, nbuf), j).wait()
+    slot = jax.lax.rem(j, nbuf)
+
+    acc_lo = jnp.zeros(out_ref.shape, jnp.int32)
+    acc_hi = jnp.zeros(out_ref.shape, jnp.int32)
+    for p in range(n_groups // 2):
+        p32 = pltpu.bitcast(
+            wbuf[slot, p * group:(p + 1) * group, :], jnp.int32
+        )
+        word = m_ref[0, (2 * p) // 8, :].reshape(1, -1)
+        m_lo = jnp.bitwise_and(word >> (4 * ((2 * p) % 8)), 0xF)
+        m_hi = jnp.bitwise_and(word >> (4 * ((2 * p) % 8) + 4), 0xF)
+        lo = jnp.bitwise_and(p32, 0x0F0F0F0F) * m_lo
+        hi = jnp.bitwise_and(p32 >> 4, 0x0F0F0F0F) * m_hi
+        w_lo = pltpu.bitcast((lo + (_B0x80 - m_lo * 0x08080808)) ^ _B0x80, jnp.int8)
+        w_hi = pltpu.bitcast((hi + (_B0x80 - m_hi * 0x08080808)) ^ _B0x80, jnp.int8)
+        acc_lo = acc_lo + jax.lax.dot(
+            x_ref[:, 2 * p * group:(2 * p + 1) * group], w_lo,
+            preferred_element_type=jnp.int32,
+        )
+        acc_hi = acc_hi + jax.lax.dot(
+            x_ref[:, (2 * p + 1) * group:(2 * p + 2) * group], w_hi,
+            preferred_element_type=jnp.int32,
+        )
+    out_ref[:] = (
+        (acc_lo + acc_hi).astype(jnp.float32) * sc_ref[0] * xs_ref[:]
+    ).astype(out_ref.dtype)
+
+
 def _w4a8_2l_gemv_stacked_kernel_dotraw(
     l_ref, x_ref, xs_ref, wp_ref, m_ref, sc_ref, out_ref, acc_ref,
     *, n_groups: int, group: int,
@@ -1007,6 +1077,53 @@ def matmul_w4a8_2l_gemv_stacked(
     if block_n is None:  # env knob is a default, never an override
         block_n = flags.two_level_block_n()
     bn = bnw if preblocked else _round_block(block_n, 128, N)
+    manual_bufs = flags.two_level_manual_bufs()
+    if manual_bufs >= 2 and preblocked:
+        n_panels = N // bn
+        nbuf = min(manual_bufs, n_panels,
+                   max(2, (6 << 20) // max(1, Kh * bn)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_panels,),
+            in_specs=[
+                pl.BlockSpec((bm, K), lambda j, l: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda j, l: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, n_pack, bn), lambda j, l: (l[0], 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bn), lambda j, l: (l[0], 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda j, l: (0, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((nbuf, Kh, bn), jnp.int8),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _w4a8_2l_gemv_stacked_manual_kernel,
+                n_groups=n_groups, group=group_size,
+                nbuf=nbuf, n_panels=n_panels,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((bm, N), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * bm * N * K,
+                bytes_accessed=K * N // 2 + bm * K + bm * N * 2,
+                transcendentals=0,
+            ),
+        )(jnp.reshape(layer, (1,)).astype(jnp.int32),
+          x_q, x_scale.reshape(bm, 1).astype(jnp.float32),
+          w_packed, mult,
+          s_col.astype(jnp.float32).reshape(L, 1, N))
+        return out[:M]
     nbuf = flags.two_level_buffers()
     # cap buffers so the weight operand stays within ~8 MB of VMEM
     nbuf = max(2, min(nbuf, (8 << 20) // max(1, Kh * bn)))

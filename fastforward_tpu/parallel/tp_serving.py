@@ -219,3 +219,108 @@ def make_tp_decode_step(config: LlamaConfig, mesh: Mesh, stacked: ServingLayer,
         check_rep=False,
     )
     return jax.jit(sharded)
+
+
+def make_tp_decode_loop(config: LlamaConfig, mesh: Mesh, stacked: ServingLayer,
+                        params: ServingParams, cache: StackedKVCache,
+                        num_steps: int, data_axis: str = "data",
+                        sampling=None, donate: bool = True):
+    """Multi-step TP decode loop: the `lax.scan` over decode steps runs
+    INSIDE one `shard_map` (VERDICT r4 item 4) — one XLA program per decode
+    burst, the config-5 runway. Mirrors the single-chip
+    `serving.stacked.make_stacked_decode_loop` (fused-argmax greedy head or
+    per-row sampling) with Megatron TP: only the two row-parallel psums per
+    layer cross ICI per step; the head runs per data shard.
+
+    Greedy:  loop(params, stacked, cache, token) -> (tokens (B, S), cache)
+    Sampled: loop(params, stacked, cache, token, key) -> same
+
+    ``token`` is (B, 1) sharded over ``data_axis``; tokens return sharded
+    the same way. Works with both the contiguous slab and the paged pool
+    (per-shard local page ids, `paged_cache_specs`).
+    """
+    import jax.numpy as jnp
+
+    from fastforward_tpu import flags
+    from fastforward_tpu.serving.paged import PagedKVCache
+    from fastforward_tpu.serving.sampling import SamplingParams, sample_logits
+
+    sampling = sampling or SamplingParams(temperature=0.0)
+    tp = int(mesh.shape["model"])
+    if config.num_kv_heads % tp != 0:
+        raise ValueError(
+            f"num_kv_heads={config.num_kv_heads} must divide over tp={tp}"
+        )
+    stacked = _ensure_unfused(stacked, config)
+    local_config = dataclasses.replace(
+        config,
+        num_heads=config.num_heads // tp,
+        num_kv_heads=config.num_kv_heads // tp,
+    )
+
+    p_specs = params_specs(params)
+    s_specs = stacked_layer_specs(normalize_stacked_for_tp(stacked, tp))
+    c_specs = (
+        paged_cache_specs(cache, data_axis)
+        if isinstance(cache, PagedKVCache)
+        else cache_specs(cache, data_axis)
+    )
+
+    if sampling.is_greedy:
+        fused_argmax = flags.fused_argmax()
+
+        def loop(params, stacked, cache, token):
+            def step(carry, _):
+                cache, token = carry
+                tok, cache = serving_forward_stacked(
+                    params, stacked, local_config, token, cache,
+                    tp_axis="model", greedy_head=fused_argmax,
+                )
+                if not fused_argmax:
+                    tok = jnp.argmax(tok[:, -1], axis=-1)
+                nxt = tok.astype(token.dtype)[:, None]
+                return (cache, nxt), nxt[:, 0]
+
+            (cache, _), tokens = jax.lax.scan(
+                step, (cache, token), None, length=num_steps
+            )
+            return tokens.T, cache
+
+        sharded = shard_map(
+            loop,
+            mesh=mesh,
+            in_specs=(p_specs, s_specs, c_specs, P(data_axis, None)),
+            out_specs=(P(data_axis, None), c_specs),
+            check_rep=False,
+        )
+        return jax.jit(sharded, donate_argnums=(2,) if donate else ())
+
+    def loop_sampled(params, stacked, cache, token, key):
+        # Each data shard draws its own stream (fold in the shard index);
+        # model-axis ranks fold identically, so TP replicas agree.
+        key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
+
+        def step(carry, _):
+            cache, token, key = carry
+            logits, cache = serving_forward_stacked(
+                params, stacked, local_config, token, cache, tp_axis="model"
+            )
+            key, sub = jax.random.split(key)
+            nxt = sample_logits(logits[:, -1], sampling, sub).astype(
+                token.dtype
+            )[:, None]
+            return (cache, nxt, key), nxt[:, 0]
+
+        (cache, _, _), tokens = jax.lax.scan(
+            step, (cache, token, key), None, length=num_steps
+        )
+        return tokens.T, cache
+
+    sharded = shard_map(
+        loop_sampled,
+        mesh=mesh,
+        in_specs=(p_specs, s_specs, c_specs, P(data_axis, None), P()),
+        out_specs=(P(data_axis, None), c_specs),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(2,) if donate else ())

@@ -1,5 +1,6 @@
 """shard_map TP serving tests (virtual 8-device CPU mesh)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -232,3 +233,88 @@ def test_tp_accepts_fused_layers_via_unfuse(config):
     # without config, fused layers are a clear error
     with pytest.raises(ValueError, match="unfuse"):
         shard_for_tp(params, fused, cache, mesh)
+
+
+def test_tp_decode_loop_matches_step_and_single_device(config):
+    """`make_tp_decode_loop` (scan-over-steps inside one shard_map, VERDICT
+    r4 item 4): token sequence is EXACTLY the iterated `make_tp_decode_step`
+    + argmax (the loop is the step, fused), and tracks the single-chip
+    `make_stacked_decode_loop` (per-shard dynamic activation quantization
+    uses local amax, so cross-path tokens agree but need not be identical).
+    """
+    from fastforward_tpu.parallel.tp_serving import (
+        make_tp_decode_loop,
+        make_tp_decode_step,
+        shard_for_tp,
+    )
+    from fastforward_tpu.serving.stacked import make_stacked_decode_loop
+
+    params, stacked = random_stacked_params(
+        config, mode="w4a8_2l", seed=0, group_size=32
+    )
+    mesh = make_mesh({"data": 2, "model": 4})
+    batch, steps = 2, 6
+
+    def fresh_cache():
+        return StackedKVCache.create(
+            num_layers=config.num_layers, batch_size=batch, max_len=16,
+            num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
+            quantized=True,
+        )
+
+    token0 = jnp.asarray(np.random.RandomState(1).randint(0, 256, (batch, 1)))
+
+    # 1. TP loop
+    p, s, c = shard_for_tp(params, stacked, fresh_cache(), mesh)
+    loop = make_tp_decode_loop(
+        config, mesh, stacked, params, fresh_cache(), num_steps=steps,
+        donate=False,
+    )
+    tokens_loop, _ = loop(p, s, c, token0)
+    tokens_loop = np.asarray(tokens_loop)
+    assert tokens_loop.shape == (batch, steps)
+
+    # 2. iterated TP step (same sharding semantics) — must match exactly
+    step = make_tp_decode_step(config, mesh, stacked, params, fresh_cache())
+    p2, s2, c2 = shard_for_tp(params, stacked, fresh_cache(), mesh)
+    tok = token0
+    got = []
+    for i in range(steps):
+        logits, c2 = step(p2, s2, c2, tok, jnp.asarray([i], jnp.int32))
+        tok = jnp.argmax(logits[:, -1], -1).astype(tok.dtype)[:, None]
+        got.append(np.asarray(tok[:, 0]))
+    np.testing.assert_array_equal(tokens_loop, np.stack(got, 1))
+
+    # 3. single-chip loop — high agreement (quantization noise only)
+    single = make_stacked_decode_loop(config, num_steps=steps, donate=False)
+    tokens_single, _ = single(params, stacked, fresh_cache(), token0)
+    agree = (tokens_loop == np.asarray(tokens_single)).mean()
+    assert agree >= 0.5, f"TP loop diverged from single-chip: {agree}"
+
+
+def test_tp_decode_loop_sampled(config):
+    """Sampled TP loop: per-data-shard PRNG streams, model-axis replicas
+    agree (the fold_in uses only the data-shard index)."""
+    from fastforward_tpu.parallel.tp_serving import make_tp_decode_loop, shard_for_tp
+    from fastforward_tpu.serving.sampling import SamplingParams
+
+    params, stacked = random_stacked_params(
+        config, mode="w4a8_2l", seed=0, group_size=32
+    )
+    mesh = make_mesh({"data": 2, "model": 4})
+    batch, steps = 2, 4
+    cache = StackedKVCache.create(
+        num_layers=config.num_layers, batch_size=batch, max_len=16,
+        num_kv_heads=config.num_kv_heads, head_dim=config.head_dim,
+        quantized=True,
+    )
+    token0 = jnp.asarray(np.random.RandomState(1).randint(0, 256, (batch, 1)))
+    p, s, c = shard_for_tp(params, stacked, cache, mesh)
+    loop = make_tp_decode_loop(
+        config, mesh, stacked, params, cache, num_steps=steps,
+        sampling=SamplingParams(temperature=0.8, top_k=10), donate=False,
+    )
+    tokens, _ = loop(p, s, c, token0, jax.random.PRNGKey(7))
+    tokens = np.asarray(tokens)
+    assert tokens.shape == (batch, steps)
+    assert (tokens >= 0).all() and (tokens < config.vocab_size).all()

@@ -153,6 +153,20 @@ def two_level_dotraw() -> bool:
     return _env_bool("FF_2L_DOTRAW", False)
 
 
+def a4_nomul() -> bool:
+    """W4A4 GEMV DIAGNOSTIC: skip the per-group accumulator multiplier
+    (FF_A4_NOMUL; wrong numerics — isolates the VPU cost of m_g * d)."""
+    return _env_bool("FF_A4_NOMUL", False)
+
+
+def a4_concat() -> int:
+    """W4A4 GEMV DIAGNOSTIC: concatenate this many groups per int4 dot
+    (FF_A4_CONCAT, default 1). >1 applies the FIRST group's multiplier to
+    the whole concatenated dot — wrong numerics; measures the dot-issue
+    ceiling with 4x/8x longer dots."""
+    return _env_int("FF_A4_CONCAT", 1)
+
+
 def two_level_pargrid() -> bool:
     """Stacked GEMV variant: parallel-N grid (FF_2L_PARGRID; no-win, off)."""
     return _env_bool("FF_2L_PARGRID", False)

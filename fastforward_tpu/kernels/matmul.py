@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fastforward_tpu import flags
 from fastforward_tpu.kernels.packing import (
+    pack_int4_vertical,
     pack_uint4_offset,
     pack_uint4_offset_paired,
     unpack_int4,
@@ -1250,6 +1251,280 @@ def preblock_stacked(w_packed: jax.Array, block_n: int) -> jax.Array:
     return jnp.transpose(
         w_packed.reshape(L, Kh, N // block_n, block_n), (0, 2, 1, 3)
     )
+
+
+# =============================================================================
+# Two-level W4A4 (decode): int4 activations x int4 weights on the MXU
+# =============================================================================
+#
+# The W4A8 GEMV at batch >= 128 is MXU-compute-bound (docs/performance.md
+# "GEMV loop at large batch"); the FLOP lever is lower-bit activations.
+# Probed on v5e (`scripts/tpu_probe_int4.py`): int4 x int4 `lax.dot`
+# measures 340 TOP/s vs 240 for int8 in the same harness (x1.41), and
+# `pltpu.bitcast(int8, int4)` emits the (lo, hi) nibbles of byte row r as
+# int4 rows 2r, 2r+1 — so with the *vertical* at-rest packing
+# (`pack_int4_vertical`) a weight panel becomes MXU-ready int4 with ONE
+# bitcast and zero nibble arithmetic.
+#
+# Two-level scales work differently from the W4A8 kernels: the per-group
+# integer multiplier m cannot fold into int4 weights (|v4 * m| overflows the
+# nibble), so it is applied on the (bm, bn) int32 accumulator instead —
+# acc += m_g * dot4(x4_g, v4_g) — the `dotraw` structure, which measured
+# as noise vs in-weight folding at int8 (docs/performance.md r4).
+#
+# Activations: symmetric per-row int4 (`quantize_rowwise_a4`), stored as
+# int8 in [-8, 7] and converted with one in-kernel astype. Accuracy is
+# measured in docs/accuracy.md — A4 is a throughput/quality trade the
+# simulation tier can predict per-model (reference bitwidth machinery:
+# `_quantizer_impl.py:45-75`).
+
+
+def quantize_rowwise_a4(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int4 quantization: (x_q int8 in [-8, 7], scale)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 7.0, 1e-8)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -8, 7)
+    return x_q.astype(jnp.int8), scale
+
+
+def convert_two_level_a4(
+    w_packed: jax.Array, w_scale: jax.Array, group_size: int = 128,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Requantize float-per-group W4 onto the two-level grid, vertical layout.
+
+    Same progressive-quantization math as `convert_two_level` (m in [1, 15]
+    int, effective group scale = m * s_col exactly), but the at-rest nibble
+    layout is `pack_int4_vertical` — the W4A4 kernel's bitcast-ready format.
+    Returns ``(packed_v, mult, s_col)``.
+    """
+    n_groups, N = w_scale.shape
+    K = w_packed.shape[0] * 2
+    g = group_size
+    s = w_scale.astype(jnp.float32)
+    s_col = jnp.maximum(jnp.max(s, axis=0) / 15.0, 1e-12)
+    m = jnp.clip(jnp.round(s / s_col[None, :]), 1, 15)
+    s_eff = m * s_col[None, :]
+    v = unpack_int4(w_packed, g).astype(jnp.float32).reshape(n_groups, g, N)
+    w = v * s[:, None, :]
+    v2 = jnp.clip(jnp.round(w / s_eff[:, None, :]), -8, 7).astype(jnp.int8)
+    return (
+        pack_int4_vertical(v2.reshape(K, N)),
+        m.astype(jnp.int8),
+        s_col,
+    )
+
+
+def matmul_w4a4_2l_reference(
+    x_q: jax.Array, x_scale: jax.Array, w_packed: jax.Array, mult: jax.Array,
+    s_col: jax.Array, bias: Optional[jax.Array] = None, group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Oracle for the W4A4 GEMV: integer math end-to-end, one fp scaling.
+
+    ``x_q`` int4-valued int8 (M, K); ``w_packed`` vertical layout (K//2, N).
+    """
+    from fastforward_tpu.kernels.packing import unpack_int4_vertical
+
+    M, K = x_q.shape
+    N = w_packed.shape[1]
+    n_groups = K // group_size
+    v = unpack_int4_vertical(w_packed).reshape(n_groups, group_size, N)
+    w8 = (v.astype(jnp.int32) * mult.astype(jnp.int32)[:, None, :]).reshape(K, N)
+    acc = jax.lax.dot(
+        x_q.astype(jnp.int32), w8, preferred_element_type=jnp.int32
+    )
+    out = acc.astype(jnp.float32) * s_col[None, :] * x_scale[:, None]
+    if bias is not None:
+        out = out + bias
+    return out.astype(out_dtype)
+
+
+def _w4a4_2l_gemv_stacked_kernel(
+    l_ref, x_ref, xs_ref, wp_ref, m_ref, sc_ref, out_ref,
+    *, n_groups: int, group: int,
+):
+    # One int4 dot per group; the group multiplier lands on the int32
+    # accumulator (see section comment). Two alternating register
+    # accumulators decouple consecutive dots' dependency chains (the
+    # pattern measured in `_w4a8_2l_gemv_stacked_kernel`).
+    half = group // 2
+    nomul = flags.a4_nomul()
+    concat_groups = flags.a4_concat()
+    x4 = x_ref[:].astype(jnp.int4)
+    acc_even = jnp.zeros(out_ref.shape, jnp.int32)
+    acc_odd = jnp.zeros(out_ref.shape, jnp.int32)
+    if concat_groups > 1:
+        # DIAGNOSTIC (FF_A4_CONCAT>1, wrong numerics): one long dot per
+        # concat block, first group's multiplier applied to the whole block
+        # — measures the dot-issue ceiling with concat_groups-times longer
+        # dots. A correct concat needs a format change (uniform m per
+        # block); this pins whether that change would pay first.
+        for c in range(n_groups // concat_groups):
+            planes = [
+                pltpu.bitcast(
+                    wp_ref[0, (c * concat_groups + q) * half:
+                           (c * concat_groups + q + 1) * half, :], jnp.int4
+                )
+                for q in range(concat_groups)
+            ]
+            w4 = jnp.concatenate(planes, axis=0)
+            d = jax.lax.dot(
+                x4[:, c * concat_groups * group:(c + 1) * concat_groups * group],
+                w4, preferred_element_type=jnp.int32,
+            )
+            word = m_ref[0, (c * concat_groups) // 8, :].reshape(1, -1)
+            m_g = jnp.bitwise_and(word >> (4 * ((c * concat_groups) % 8)), 0xF)
+            if c % 2 == 0:
+                acc_even = acc_even + m_g * d
+            else:
+                acc_odd = acc_odd + m_g * d
+    else:
+        for g_i in range(n_groups):
+            w4 = pltpu.bitcast(
+                wp_ref[0, g_i * half:(g_i + 1) * half, :], jnp.int4
+            )
+            d = jax.lax.dot(
+                x4[:, g_i * group:(g_i + 1) * group], w4,
+                preferred_element_type=jnp.int32,
+            )
+            if nomul:
+                # DIAGNOSTIC (FF_A4_NOMUL, wrong numerics): isolates the
+                # VPU cost of the per-group accumulator multiply.
+                m_g = 1
+            else:
+                word = m_ref[0, g_i // 8, :].reshape(1, -1)
+                m_g = jnp.bitwise_and(word >> (4 * (g_i % 8)), 0xF)
+            if g_i % 2 == 0:
+                acc_even = acc_even + m_g * d
+            else:
+                acc_odd = acc_odd + m_g * d
+    out_ref[:] = (
+        (acc_even + acc_odd).astype(jnp.float32) * sc_ref[0] * xs_ref[:]
+    ).astype(out_ref.dtype)
+
+
+def matmul_w4a4_2l_gemv_stacked(
+    x_q: jax.Array,
+    x_scale: jax.Array,
+    w_packed: jax.Array,
+    mult: jax.Array,
+    s_col: jax.Array,
+    layer: jax.Array,
+    group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+    block_n: Optional[int] = None,
+) -> jax.Array:
+    """W4A4 decode GEMV over stacked per-layer weights (vertical layout).
+
+    ``x_q`` int4-valued int8 (M, K) (`quantize_rowwise_a4`); ``w_packed``
+    (L, K//2, N) `pack_int4_vertical`; ``mult`` nibble-packed
+    (L, ceil(n_groups/8), N) int32 (`pack_mult_nibbles`); ``s_col`` (L, N).
+    Layer index rides scalar prefetch exactly like
+    `matmul_w4a8_2l_gemv_stacked`. Bit-exact vs `matmul_w4a4_2l_reference`
+    on the selected layer.
+    """
+    from fastforward_tpu.kernels.packing import unpack_mult_nibbles
+
+    M, K = x_q.shape
+    L, Kh, N = w_packed.shape
+    n_groups = K // group_size
+    n_pack = mult.shape[1]
+    if not _on_tpu():
+        wl = jax.lax.dynamic_index_in_dim(w_packed, layer, keepdims=False)
+        ml = unpack_mult_nibbles(
+            jax.lax.dynamic_index_in_dim(mult, layer, keepdims=False), n_groups
+        )
+        sl = jax.lax.dynamic_index_in_dim(s_col, layer, keepdims=False)
+        return matmul_w4a4_2l_reference(
+            x_q, x_scale, wl, ml, sl, None, group_size, out_dtype,
+        )
+    bm = max(8, M)
+    if M < 8:
+        x_q = jnp.pad(x_q, ((0, 8 - M), (0, 0)))
+        x_scale = jnp.pad(x_scale, (0, 8 - M))
+    if block_n is None:
+        block_n = flags.two_level_block_n()
+    bn = _round_block(block_n, 128, N)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(N, bn),),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kh, bn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pack, bn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, l: (0, j),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a4_2l_gemv_stacked_kernel, n_groups=n_groups, group=group_size,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bm, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * N * K,
+            bytes_accessed=K * N // 2 + bm * K + bm * N * 2,
+            transcendentals=0,
+        ),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32),
+      x_q, x_scale.reshape(bm, 1).astype(jnp.float32), w_packed,
+      mult,
+      s_col.astype(jnp.float32).reshape(L, 1, N))
+    return out[:M]
+
+
+def matmul_w4a4_2l_gemv(
+    x_q: jax.Array,
+    x_scale: jax.Array,
+    w_packed: jax.Array,
+    mult: jax.Array,
+    s_col: jax.Array,
+    group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+    block_n: int = 512,
+) -> jax.Array:
+    """Non-stacked W4A4 decode GEMV: wraps the stacked kernel with L=1."""
+    from fastforward_tpu.kernels.packing import pack_mult_nibbles
+
+    if not _on_tpu():
+        return matmul_w4a4_2l_reference(
+            x_q, x_scale, w_packed, mult, s_col, None, group_size, out_dtype,
+        )
+    return matmul_w4a4_2l_gemv_stacked(
+        x_q, x_scale, w_packed[None], pack_mult_nibbles(mult)[None],
+        s_col[None], jnp.asarray(0, jnp.int32), group_size, out_dtype,
+        block_n,
+    )
+
+
+def dequantize_int4_vertical(
+    w_packed: jax.Array, s_eff: jax.Array, group_size: int = 128,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Dequantize vertical-layout packed weights to dense (prefill path).
+
+    Pure XLA: the W4A4 prefill runs activations in bf16 (one dequant per
+    layer per chunk, full-rate MXU matmul — exactly the W4A8 prefill
+    policy; A4 is a decode-GEMV trade).
+    """
+    from fastforward_tpu.kernels.packing import unpack_int4_vertical
+
+    K = w_packed.shape[0] * 2
+    N = w_packed.shape[1]
+    v = unpack_int4_vertical(w_packed).reshape(K // group_size, group_size, N)
+    w = v.astype(jnp.float32) * s_eff[:, None, :].astype(jnp.float32)
+    return w.reshape(K, N).astype(out_dtype)
 
 
 # =============================================================================

@@ -135,3 +135,33 @@ def unpack_mult_nibbles(packed: jax.Array, n_groups: int) -> jax.Array:
     nib = jnp.bitwise_and(words >> shifts, 0xF)
     out = nib.reshape(*packed.shape[:-2], -1, packed.shape[-1])
     return out[..., :n_groups, :]
+
+
+def pack_int4_vertical(w: jax.Array) -> jax.Array:
+    """Pack int4 grid values so `pltpu.bitcast(packed, int4)` restores row
+    order — the W4A4 at-rest layout.
+
+    Byte row ``r`` holds original row ``2r`` in its LOW nibble and row
+    ``2r + 1`` in its HIGH nibble; Mosaic's int8→int4 bitcast emits the
+    (lo, hi) nibbles of byte row ``r`` as int4 rows ``2r, 2r + 1`` (probed
+    on v5e), so the A4 GEMV consumes weight panels with ONE bitcast and
+    zero nibble arithmetic — vs ~6 wide VPU ops per pair in the SWAR-fold
+    W4A8 kernels. Nibbles are plain two's-complement (no offset-binary:
+    the bitcast sign-extends natively).
+
+    ``w``: (K, N) int8 grid values in [-8, 7], K even. Returns (K//2, N).
+    """
+    K, N = w.shape
+    if K % 2 != 0:
+        raise ValueError(f"K={K} must be even")
+    w = w.astype(jnp.int8).reshape(K // 2, 2, N)
+    return ((w[:, 0] & 0xF) | (w[:, 1] << 4)).astype(jnp.int8)
+
+
+def unpack_int4_vertical(packed: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_int4_vertical`: (K//2, N) → (K, N) int8."""
+    lo = ((packed << 4).astype(jnp.int8) >> 4).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=1).reshape(
+        packed.shape[0] * 2, packed.shape[1]
+    )

@@ -97,9 +97,37 @@ class _StepEstimator(RangeEstimator):
         self._step_cls = step_cls
         self._step_kwargs = step_kwargs
 
+    def make_step(self, quantizer: Quantizer) -> SimpleEstimatorStep:
+        """Public step construction — the API non-module consumers (e.g. the
+        jaxpr autoquant plan) use instead of reaching into the private
+        `_step_cls`/`_step_kwargs` attributes."""
+        return self._step_cls(quantizer, **self._step_kwargs)
+
     def prepare(self, quantizer: Quantizer) -> OverrideHandle:
-        step = self._step_cls(quantizer, **self._step_kwargs)
-        return quantizer.register_override(step)
+        return quantizer.register_override(self.make_step(quantizer))
+
+
+def step_factory(estimator: Any = None):
+    """Resolve any estimator spec to ``callable(quantizer) -> step``.
+
+    Accepts the same shapes `estimate_ranges` does — ``None`` (default
+    running-minmax), a `SimpleEstimatorStep` subclass, a `_StepEstimator`
+    factory or instance (`running_minmax`, `smoothed_minmax`,
+    `min_error_grid`, ...). The single public estimator-step API shared by
+    the module path and the jaxpr-plan path.
+    """
+    if estimator is None:
+        from fastforward_tpu.range_setting.minmax import (
+            RunningMinMaxEstimatorStep,
+        )
+
+        return RunningMinMaxEstimatorStep
+    if isinstance(estimator, type) and issubclass(estimator, SimpleEstimatorStep):
+        return estimator
+    inst = estimator() if isinstance(estimator, type) else estimator
+    if isinstance(inst, _StepEstimator):
+        return inst.make_step
+    raise TypeError(f"unsupported estimator {estimator!r}")
 
 
 @contextlib.contextmanager

@@ -36,9 +36,14 @@ from fastforward_tpu.kernels.matmul import (
     _GEMV_MAX_M,
     _on_tpu,
     convert_two_level,
+    convert_two_level_a4,
     dequantize_int4,
+    dequantize_int4_vertical,
+    matmul_w4a4_2l_gemv,
+    matmul_w4a4_2l_gemv_stacked,
     matmul_w4a8_2l_gemv,
     matmul_w4a8_2l_gemv_stacked,
+    quantize_rowwise_a4,
 )
 from fastforward_tpu.models.llama import LlamaConfig, apply_rope, rope_frequencies
 from fastforward_tpu.serving.kv_cache import KVCache
@@ -111,6 +116,26 @@ class QuantLinear:
                 out = jax.lax.dot(
                     xb, w, preferred_element_type=jnp.float32
                 ).astype(out_dtype)
+        elif self.mode == "w4a4_2l":
+            if x2.shape[0] <= _GEMV_MAX_M or not _on_tpu():
+                x_q, x_s = quantize_rowwise_a4(x2)
+                out = matmul_w4a4_2l_gemv(
+                    x_q, x_s, self.data, self.mult, self.scale,
+                    group_size=self.group_size, out_dtype=out_dtype,
+                )
+            else:
+                # Prefill: A4-grid activations expanded to bf16 against the
+                # dequantized weight (the W4A8 prefill policy: same grid as
+                # decode, full-rate bf16 MXU matmul).
+                x_q, x_s = quantize_rowwise_a4(x2)
+                s_eff = self.mult.astype(jnp.float32) * self.scale[None, :]
+                w = dequantize_int4_vertical(
+                    self.data, s_eff, self.group_size
+                )
+                xb = (x_q.astype(jnp.float32) * x_s[:, None]).astype(jnp.bfloat16)
+                out = jax.lax.dot(
+                    xb, w, preferred_element_type=jnp.float32
+                ).astype(out_dtype)
         elif self.mode == "w4a16":
             out = matmul_w4a16(
                 x2.astype(jnp.bfloat16), self.data, self.scale,
@@ -168,6 +193,17 @@ class QuantLinear:
         ):
             x_q, x_s = quant_in(x2)
             out = matmul_w4a8_2l_gemv_stacked(
+                x_q, x_s, self.data, self.mult_packed, self.scale, layer,
+                group_size=self.group_size, out_dtype=out_dtype,
+            )
+            return out.reshape(*lead, -1)
+        if (
+            self.mode == "w4a4_2l"
+            and self.mult_packed is not None
+            and x2.shape[0] <= _GEMV_MAX_M
+        ):
+            x_q, x_s = quantize_rowwise_a4(x2)
+            out = matmul_w4a4_2l_gemv_stacked(
                 x_q, x_s, self.data, self.mult_packed, self.scale, layer,
                 group_size=self.group_size, out_dtype=out_dtype,
             )
@@ -244,7 +280,7 @@ def quantize_linear(
         scale = jnp.asarray(scale, jnp.float32).reshape(N)
         q = jnp.clip(jnp.round(w / scale[None, :]), -128, 127).astype(jnp.int8)
         return QuantLinear(q, scale, mode="w8a8")
-    if mode in ("w4a8", "w4a16", "w4a8_2l"):
+    if mode in ("w4a8", "w4a16", "w4a8_2l", "w4a4_2l"):
         g = group_size if K % group_size == 0 else K
         wg = w.reshape(K // g, g, N)
         if scale is None:
@@ -259,6 +295,11 @@ def quantize_linear(
             packed, mult, s_col = convert_two_level(packed, scale, g, paired=paired)
             return QuantLinear(
                 packed, s_col, mode=mode, group_size=g, mult=mult, paired=paired
+            )
+        if mode == "w4a4_2l":
+            packed, mult, s_col = convert_two_level_a4(packed, scale, g)
+            return QuantLinear(
+                packed, s_col, mode=mode, group_size=g, mult=mult, paired=False
             )
         return QuantLinear(packed, scale, mode=mode, group_size=g)
     raise ValueError(f"unknown mode {mode}")
@@ -380,7 +421,12 @@ def freeze_llama(model, mode: str = "w4a8", group_size: int = 128,
         )
     lm_head = None
     if model.lm_head is not None:
-        lm_head = quantize_linear(model.lm_head.kernel.value, mode, group_size)
+        # A4 applies to the decoder matmuls only: the lm_head keeps A8 (the
+        # logits head is the most scale-sensitive matmul, and its fused
+        # GEMV+argmax kernel is the w4a8_2l one) — the QServe-style W4A8
+        # head policy.
+        head_mode = "w4a8_2l" if mode == "w4a4_2l" else mode
+        lm_head = quantize_linear(model.lm_head.kernel.value, head_mode, group_size)
     return ServingParams(
         embedding=jnp.asarray(model.embed_tokens.embedding.value, jnp.bfloat16),
         layers=tuple(layers),
@@ -398,7 +444,7 @@ def random_serving_params(
     nh, nkv, d = config.num_heads, config.num_kv_heads, config.head_dim
     key = jax.random.PRNGKey(seed)
 
-    def ql(key, k_dim, n_dim):
+    def ql(key, k_dim, n_dim, mode=mode):
         # Directly fabricate quantized storage — no fp32 intermediate.
         k1, k2 = jax.random.split(key)
         if mode == "w8a8":
@@ -408,9 +454,15 @@ def random_serving_params(
         g = group_size if k_dim % group_size == 0 else k_dim
         q = jax.random.randint(k1, (k_dim, n_dim), -8, 8, dtype=jnp.int8)
         packed = pack_int4(q, group_size=g)
-        if mode == "w4a8_2l":
+        if mode in ("w4a8_2l", "w4a4_2l"):
             mult = jax.random.randint(k2, (k_dim // g, n_dim), 1, 16, dtype=jnp.int8)
             s_col = jnp.full((n_dim,), 0.25 / np.sqrt(k_dim) / 8.0, jnp.float32)
+            if mode == "w4a4_2l":
+                from fastforward_tpu.kernels.packing import pack_int4_vertical
+
+                packed = pack_int4_vertical(
+                    jax.random.randint(k1, (k_dim, n_dim), -8, 8, dtype=jnp.int8)
+                )
             return QuantLinear(packed, s_col, mode=mode, group_size=g, mult=mult)
         scale = jnp.full((k_dim // g, n_dim), 0.25 / np.sqrt(k_dim), jnp.float32)
         return QuantLinear(packed, scale, mode=mode, group_size=g)
@@ -433,7 +485,10 @@ def random_serving_params(
         )
     key, k1, k2 = jax.random.split(key, 3)
     embedding = (jax.random.normal(k1, (config.vocab_size, h), jnp.bfloat16) * 0.02)
-    lm_head = None if config.tie_embeddings else ql(k2, h, config.vocab_size)
+    head_mode = "w4a8_2l" if mode == "w4a4_2l" else mode  # see freeze_llama
+    lm_head = (
+        None if config.tie_embeddings else ql(k2, h, config.vocab_size, head_mode)
+    )
     return ServingParams(
         embedding=embedding,
         layers=tuple(layers),

@@ -237,13 +237,13 @@ def random_stacked_params(config: LlamaConfig, mode: str = "w4a8",
             return QuantLinear(data, scale, mode=mode)
         g = group_size if K % group_size == 0 else K
         packed = _pack_rand(key, L, K, N, g)
-        if mode == "w4a8_2l":
+        if mode in ("w4a8_2l", "w4a4_2l"):
             k1, k2 = jax.random.split(key)
             mult = jax.random.randint(k2, (L, K // g, N), 1, 16, dtype=jnp.int8)
             s_col = jnp.full((L, N), 0.25 / np.sqrt(K) / 8.0, jnp.float32)
             return QuantLinear(
                 packed, s_col, mode=mode, group_size=g, mult=mult,
-                paired=_paired_default(K // g),
+                paired=_paired_default(K // g) if mode == "w4a8_2l" else False,
             )
         scale = jnp.full((L, K // g, N), 0.25 / np.sqrt(K), jnp.float32)
         return QuantLinear(packed, scale, mode=mode, group_size=g)
@@ -277,12 +277,13 @@ def random_stacked_params(config: LlamaConfig, mode: str = "w4a8",
         g = group_size if K % group_size == 0 else K
         q = jax.random.randint(key, (K, N), -8, 8, dtype=jnp.int8)
         packed = pack_int4(q, group_size=g)
-        if mode == "w4a8_2l":
+        if mode in ("w4a8_2l", "w4a4_2l"):
+            # A4 mode: the logits head stays w4a8_2l (see freeze_llama).
             k1, k2 = jax.random.split(key)
             mult = jax.random.randint(k2, (K // g, N), 1, 16, dtype=jnp.int8)
             s_col = jnp.full((N,), 0.25 / np.sqrt(K) / 8.0, jnp.float32)
             return QuantLinear(
-                packed, s_col, mode=mode, group_size=g, mult=mult,
+                packed, s_col, mode="w4a8_2l", group_size=g, mult=mult,
                 paired=_paired_default(K // g),
             )
         return QuantLinear(

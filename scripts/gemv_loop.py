@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fastforward_tpu.kernels.matmul import (
+    matmul_w4a4_2l_gemv_stacked,
     matmul_w4a8_2l_gemv,
     matmul_w4a8_2l_gemv_stacked,
     preblock_stacked,
@@ -34,6 +35,7 @@ BLOCK_N = int(os.environ.get("GL_BLOCK_N", "512"))
 L = int(os.environ.get("GL_LAYERS", "32"))
 PREBLOCK = os.environ.get("GL_PREBLOCK", "0") == "1"
 ONLY = os.environ.get("GL_ONLY", "all")  # all|qkv|gu — per-call-overhead probe
+MODE = os.environ.get("GL_MODE", "a8")    # a8|a4 — W4A8 2L vs W4A4 2L kernel
 D, QKV_N, INTER = 4096, 6144, 14336
 G = 128
 
@@ -55,8 +57,11 @@ def make_weights():
 
 
 def step_fn():
-    def requant(y):  # rowwise int8 quantization of a bf16 activation
+    def requant(y):  # rowwise int8 (a8) / int4 (a4) requantization
         m = jnp.max(jnp.abs(y.astype(jnp.float32)), axis=1, keepdims=True)
+        if MODE == "a4":
+            s = jnp.maximum(m / 7.0, 1e-8)
+            return jnp.clip(jnp.round(y / s), -8, 7).astype(jnp.int8), s[:, 0]
         s = jnp.maximum(m / 127.0, 1e-8)
         return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8), s[:, 0]
 
@@ -77,9 +82,14 @@ def step_fn():
         # the scalar-prefetch kernel DMAs panels straight from the stack.
         x_q, x_s = carry
         (qkv_w, qkv_m, qkv_s), (o_w, o_m, o_s), (gu_w, gu_m, gu_s), (dn_w, dn_m, dn_s) = weights
-        mm = lambda xq, xs, w, m, s: matmul_w4a8_2l_gemv_stacked(
-            xq, xs, w, m, s, l, block_n=BLOCK_N
-        )
+        if MODE == "a4":
+            mm = lambda xq, xs, w, m, s: matmul_w4a4_2l_gemv_stacked(
+                xq, xs, w, m, s, l, block_n=BLOCK_N
+            )
+        else:
+            mm = lambda xq, xs, w, m, s: matmul_w4a8_2l_gemv_stacked(
+                xq, xs, w, m, s, l, block_n=BLOCK_N
+            )
         if ONLY == "qkv":  # one 12.6 MB call per layer
             qkv = mm(x_q, x_s, qkv_w, qkv_m, qkv_s)
             return requant(qkv[:, :D]), None
@@ -125,7 +135,8 @@ def main():
         )
     jax.block_until_ready(weights)
     rng = np.random.RandomState(1)
-    x_q = jnp.asarray(rng.randint(-127, 128, (B, D)), jnp.int8)
+    hi = 8 if MODE == "a4" else 128
+    x_q = jnp.asarray(rng.randint(-hi, hi, (B, D)), jnp.int8)
     x_s = jnp.asarray(rng.rand(B).astype(np.float32) * 0.01 + 0.005)
     loop = step_fn()
     out = loop(weights, x_q, x_s)
@@ -141,7 +152,7 @@ def main():
     per_layer = {"all": 109.1, "qkv": 12.6, "gu": 58.7}[ONLY]
     gbs = per_layer * L / 1e3 / (ms / 1e3)
     print(
-        f"batch={B} block_n={BLOCK_N} stacked={int(STACKED)} "
+        f"mode={MODE} batch={B} block_n={BLOCK_N} stacked={int(STACKED)} "
         f"preblock={int(PREBLOCK)} only={ONLY}: {ms:.2f} ms/step "
         f"({gbs:.0f} GB/s effective, roofline 819)"
     )

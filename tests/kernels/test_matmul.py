@@ -505,3 +505,154 @@ def test_preblock_fuse_and_decode_matches_flat(monkeypatch):
     # THEN prefill and decode logits are identical across layouts
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_array_equal(d1, d2)
+
+
+# --- W4A4 two-level (vertical layout, int4 MXU dots) -------------------------
+
+
+def test_pack_int4_vertical_roundtrip():
+    from fastforward_tpu.kernels.packing import (
+        pack_int4_vertical,
+        unpack_int4_vertical,
+    )
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randint(-8, 8, size=(256, 64)), dtype=jnp.int8)
+    packed = pack_int4_vertical(w)
+    assert packed.shape == (128, 64)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4_vertical(packed)), np.asarray(w)
+    )
+
+
+def test_w4a4_2l_conversion_grid_matches_w4a8_2l():
+    """convert_two_level_a4 produces the SAME two-level grid (mult, s_col,
+    quantized values) as convert_two_level — only the at-rest layout
+    differs."""
+    from fastforward_tpu.kernels.matmul import (
+        convert_two_level,
+        convert_two_level_a4,
+    )
+    from fastforward_tpu.kernels.packing import (
+        unpack_int4_vertical,
+        unpack_uint4_offset_paired,
+    )
+
+    rng = np.random.RandomState(1)
+    K, N, g = 256, 64, 64
+    q = rng.randint(-8, 8, size=(K, N)).astype(np.int8)
+    w_scale = (rng.rand(K // g, N) * 0.1 + 0.01).astype(np.float32)
+    packed = pack_int4(jnp.asarray(q), group_size=g)
+
+    p8, m8, s8 = convert_two_level(packed, jnp.asarray(w_scale), g, paired=True)
+    p4, m4, s4 = convert_two_level_a4(packed, jnp.asarray(w_scale), g)
+
+    np.testing.assert_array_equal(np.asarray(m8), np.asarray(m4))
+    np.testing.assert_array_equal(np.asarray(s8), np.asarray(s4))
+    v8 = np.asarray(unpack_uint4_offset_paired(p8, g))
+    v4 = np.asarray(unpack_int4_vertical(p4))
+    np.testing.assert_array_equal(v8, v4)
+
+
+def test_w4a4_2l_reference_oracle():
+    """Integer-exact oracle: reference == dequantized float matmul."""
+    from fastforward_tpu.kernels.matmul import (
+        convert_two_level_a4,
+        matmul_w4a4_2l_reference,
+        quantize_rowwise_a4,
+    )
+    from fastforward_tpu.kernels.packing import unpack_int4_vertical
+
+    rng = np.random.RandomState(2)
+    M, K, N, g = 8, 256, 128, 64
+    w = rng.randn(K, N).astype(np.float32) * 0.05
+    wg = w.reshape(K // g, g, N)
+    w_scale = np.maximum(np.abs(wg).max(1) / 7.0, 1e-8).astype(np.float32)
+    q = np.clip(np.round(wg / w_scale[:, None, :]), -8, 7).astype(np.int8)
+    packed = pack_int4(jnp.asarray(q.reshape(K, N)), group_size=g)
+    p4, mult, s_col = convert_two_level_a4(packed, jnp.asarray(w_scale), g)
+
+    x = rng.randn(M, K).astype(np.float32)
+    x_q, x_s = quantize_rowwise_a4(jnp.asarray(x))
+    assert np.abs(np.asarray(x_q)).max() <= 8
+
+    out = np.asarray(
+        matmul_w4a4_2l_reference(
+            x_q, x_s, p4, mult, s_col, group_size=g, out_dtype=jnp.float32
+        )
+    )
+    v = np.asarray(unpack_int4_vertical(p4)).reshape(K // g, g, N)
+    s_eff = np.asarray(mult).astype(np.float32) * np.asarray(s_col)[None, :]
+    w_deq = (v.astype(np.float32) * s_eff[:, None, :]).reshape(K, N)
+    x_deq = np.asarray(x_q, np.float32) * np.asarray(x_s)[:, None]
+    np.testing.assert_allclose(out, x_deq @ w_deq, rtol=1e-5, atol=1e-5)
+
+
+def test_w4a4_2l_stacked_matches_reference():
+    """CPU path of the stacked wrapper == per-layer reference."""
+    from fastforward_tpu.kernels.matmul import (
+        matmul_w4a4_2l_gemv_stacked,
+        matmul_w4a4_2l_reference,
+    )
+    from fastforward_tpu.kernels.packing import pack_mult_nibbles
+
+    rng = np.random.RandomState(3)
+    L, M, K, N, g = 3, 4, 128, 128, 64
+    wp = jnp.asarray(rng.randint(-128, 128, (L, K // 2, N)), jnp.int8)
+    mult = jnp.asarray(rng.randint(1, 16, (L, K // g, N)), jnp.int8)
+    s_col = jnp.asarray(rng.rand(L, N).astype(np.float32) * 0.01)
+    x_q = jnp.asarray(rng.randint(-8, 8, (M, K)), jnp.int8)
+    x_s = jnp.asarray(rng.rand(M).astype(np.float32) + 0.1)
+
+    mp = pack_mult_nibbles(mult.reshape(L * (K // g), N)).reshape(L, -1, N) \
+        if False else jnp.stack([pack_mult_nibbles(mult[i]) for i in range(L)])
+    for layer in range(L):
+        got = np.asarray(
+            matmul_w4a4_2l_gemv_stacked(
+                x_q, x_s, wp, mp, s_col, jnp.asarray(layer), group_size=g,
+                out_dtype=jnp.float32,
+            )
+        )
+        want = np.asarray(
+            matmul_w4a4_2l_reference(
+                x_q, x_s, wp[layer], mult[layer], s_col[layer], group_size=g,
+                out_dtype=jnp.float32,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_quantlinear_w4a4_mode_and_call_layer():
+    """quantize_linear w4a4_2l end-to-end: decode GEMV (CPU reference) and
+    prefill dequant path agree with the simulated grid; stacked call_layer
+    matches per-layer __call__."""
+    import dataclasses
+
+    from fastforward_tpu.serving.engine import quantize_linear
+    from fastforward_tpu.serving.stacked import _with_packed_mult
+
+    rng = np.random.RandomState(4)
+    K, N = 256, 128
+    w = rng.randn(K, N).astype(np.float32) * 0.05
+    ql = quantize_linear(jnp.asarray(w), "w4a4_2l", group_size=64)
+    assert ql.mode == "w4a4_2l" and ql.mult is not None
+
+    x = rng.randn(4, K).astype(np.float32) * 0.5
+    out = np.asarray(ql(jnp.asarray(x), out_dtype=jnp.float32))
+    # A4 activations + W4 two-level weights: coarse grid — sanity vs fp32
+    ref = x @ w
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 0.25, f"W4A4 output too far from fp32: rel {rel:.3f}"
+
+    # stacked call_layer == sliced __call__
+    stacked = dataclasses.replace(
+        ql,
+        data=jnp.stack([ql.data, ql.data]),
+        scale=jnp.stack([ql.scale, ql.scale]),
+        mult=jnp.stack([ql.mult, ql.mult]),
+    )
+    stacked = _with_packed_mult(stacked)
+    got = np.asarray(
+        stacked.call_layer(jnp.asarray(x), jnp.asarray(1), out_dtype=jnp.float32)
+    )
+    np.testing.assert_array_equal(got, out)

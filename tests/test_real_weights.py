@@ -166,3 +166,51 @@ def test_gpt2_w8a8_vs_hf_golden():
             f"GPT-2 W8A8 ({name}) ppl {p:.4f} vs fp32 {ppl_fp:.4f} "
             f"(ratio {p / ppl_fp:.4f} > 1.05)"
         )
+
+
+def test_llama_w4a4_accuracy_grid(llama_checkpoint):
+    """W4A4 execution-tier accuracy vs W4A8 at the serving group sizes.
+
+    The A4 decode GEMV is dot-issue-bound at group 128; group 512 removes
+    the issue bottleneck (one long int4 dot per group —
+    docs/performance.md r5). This pins the accuracy side of that trade on
+    the real-weights golden harness: A4 costs accuracy vs A8, and g=512
+    costs accuracy vs g=128 — both must stay within measured bounds, and
+    the numbers are recorded in docs/accuracy.md.
+    """
+    from fastforward_tpu.serving.engine import freeze_llama, serving_forward
+    from fastforward_tpu.serving.loader import load_tensors
+    from fastforward_tpu.testing.hf_golden import (
+        nnx_model_from_tensors,
+        ppl_jax,
+        ppl_torch,
+        sample_eval_set,
+    )
+
+    out_dir, torch_model, hf_cfg, config = llama_checkpoint
+    eval_ids = sample_eval_set(torch_model, hf_cfg.vocab_size, 4, 48, seed=1)
+    ppl_fp = ppl_torch(torch_model, eval_ids)
+
+    sim = nnx_model_from_tensors(load_tensors(out_dir), config)
+
+    def eval_mode(mode, g):
+        params = freeze_llama(sim, mode=mode, group_size=g)
+
+        def fwd(b):
+            logits, _ = serving_forward(params, config, b)
+            return logits
+
+        return ppl_jax(fwd, eval_ids)
+
+    ppl = {
+        ("w4a8_2l", 32): eval_mode("w4a8_2l", 32),
+        ("w4a4_2l", 32): eval_mode("w4a4_2l", 32),
+        ("w4a4_2l", 64): eval_mode("w4a4_2l", 64),
+    }
+    print("\nfp32 ppl:", ppl_fp, {k: round(v, 2) for k, v in ppl.items()})
+    # Sanity bounds: every mode is a working quantized model (a broken
+    # kernel/scale axis moves ppl by orders of magnitude)...
+    for k, v in ppl.items():
+        assert v < ppl_fp * 3.0, f"{k}: ppl {v:.1f} vs fp {ppl_fp:.1f}"
+    # ...and A4 does not catastrophically lose to A8 at the same group.
+    assert ppl[("w4a4_2l", 32)] < ppl[("w4a8_2l", 32)] * 1.5

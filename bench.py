@@ -118,20 +118,27 @@ def measure_engine(config, mode, batch, steps, seed=0):
     if paged:
         kw = dict(paged=True, page_size=256,
                   num_pages=int(batch * 2 * 0.6) + 1)
+    max_len = int(os.environ.get("FF_BENCH_ENGINE_MAXLEN", "512"))
     engine = ContinuousBatchingEngine(
-        config, params, stacked, max_batch=batch, max_len=512, **kw,
+        config, params, stacked, max_batch=batch, max_len=max_len, **kw,
     )
     rng = np.random.RandomState(0)
+    # FF_BENCH_ENGINE_PROMPTS: comma-separated prompt-length choices —
+    # e.g. "4096" with FF_BENCH_ENGINE_MAXLEN=8192 proves the long-context
+    # claim that chunked-prefill admission avoids the single-shot bench's
+    # prefill-temporary OOM (docs/performance.md "Long-context decode").
+    plens = [int(v) for v in os.environ.get(
+        "FF_BENCH_ENGINE_PROMPTS", "16,32,64,96").split(",")]
     arrivals = []
     for i in range(batch * 2):
-        plen = int(rng.choice([16, 32, 64, 96]))
+        plen = int(rng.choice(plens))
         arrivals.append(rng.randint(0, config.vocab_size, (plen,)).tolist())
 
     burst = int(os.environ.get("FF_BENCH_ENGINE_BURST", "8"))
     # warmup: compile EVERY prefill bucket (one request per distinct prompt
     # length) and the decode burst — through the remote relay each compile
     # costs tens of seconds and must not land in the measured loop.
-    for plen in (16, 32, 64, 96):
+    for plen in sorted(set(plens)):
         engine.submit(rng.randint(0, config.vocab_size, (plen,)).tolist(),
                       max_new_tokens=burst)
         engine.run_until_complete(burst=burst)

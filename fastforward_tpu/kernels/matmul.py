@@ -2414,6 +2414,136 @@ def fused_norm_qkv_reference(
     )
 
 
+def _fused_norm_qkv_a4_kernel(
+    l_ref, x_ref, nw_ref, w_ref, m_ref, sc_ref, out_ref, hq_ref, hs_ref,
+    *, n_groups: int, group: int, eps: float,
+):
+    # A4 layer head: rmsnorm + dynamic int4 row quantization at grid step 0,
+    # then the vertical-layout int4 GEMV (`_w4a4_2l_gemv_stacked_kernel`
+    # body) against the bitcast weight panels.
+    j = pl.program_id(0)
+    bm = x_ref.shape[0]
+    half = group // 2
+
+    @pl.when(j == 0)
+    def _norm_quant():
+        xf = x_ref[...].astype(jnp.float32)
+        k = xf.shape[1]
+        inv = jax.lax.rsqrt(jnp.sum(xf * xf, axis=1, keepdims=True) / k + eps)
+        h = xf * inv * nw_ref[0]
+        amax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+        s = jnp.maximum(amax / 7.0, 1e-8)
+        hq_ref[...] = jnp.clip(jnp.round(h / s), -8, 7).astype(jnp.int8)
+        hs_ref[...] = jnp.broadcast_to(s, hs_ref.shape)
+
+    x4 = hq_ref[...].astype(jnp.int4)
+    acc_even = jnp.zeros((bm, out_ref.shape[1]), jnp.int32)
+    acc_odd = jnp.zeros((bm, out_ref.shape[1]), jnp.int32)
+    for g_i in range(n_groups):
+        w4 = pltpu.bitcast(w_ref[0, g_i * half:(g_i + 1) * half, :], jnp.int4)
+        d = jax.lax.dot(
+            x4[:, g_i * group:(g_i + 1) * group], w4,
+            preferred_element_type=jnp.int32,
+        )
+        word = m_ref[0, g_i // 8, :].reshape(1, -1)
+        m_g = jnp.bitwise_and(word >> (4 * (g_i % 8)), 0xF)
+        if g_i % 2 == 0:
+            acc_even = acc_even + m_g * d
+        else:
+            acc_odd = acc_odd + m_g * d
+    out_ref[...] = (
+        (acc_even + acc_odd).astype(jnp.float32) * sc_ref[0] * hs_ref[:, :1]
+    ).astype(out_ref.dtype)
+
+
+def fused_norm_qkv_a4_reference(x, norm_w, w, m, s, group_size=512, eps=1e-5):
+    """XLA oracle for the A4 layer head: rmsnorm -> dynamic int4 row
+    quantization -> vertical-layout W4A4 GEMV (per-layer operands)."""
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
+    h = xf * inv * norm_w[None, :].astype(jnp.float32)
+    h_q, h_s = quantize_rowwise_a4(h)
+    return matmul_w4a4_2l_reference(
+        h_q, h_s, w, m, s, None, group_size, jnp.float32
+    )
+
+
+def fused_norm_qkv_stacked_a4(
+    x: jax.Array,
+    norm_w: jax.Array,
+    w_packed: jax.Array,
+    mult_packed: jax.Array,
+    s_col: jax.Array,
+    layer: jax.Array,
+    group_size: int = 512,
+    eps: float = 1e-5,
+    out_dtype=jnp.bfloat16,
+    block_n: Optional[int] = None,
+) -> jax.Array:
+    """A4 analog of `fused_norm_qkv_stacked`: in-kernel rmsnorm + int4 row
+    quantization at grid step 0 + the vertical-layout int4 qkv GEMV."""
+    from fastforward_tpu.kernels.packing import unpack_mult_nibbles
+
+    M, K = x.shape
+    L, Kh, N = w_packed.shape
+    n_groups = K // group_size
+
+    if not _on_tpu():
+        idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, keepdims=False)
+        return fused_norm_qkv_a4_reference(
+            x.astype(jnp.float32), idx(norm_w),
+            idx(w_packed), unpack_mult_nibbles(idx(mult_packed), n_groups),
+            idx(s_col), group_size, eps,
+        ).astype(out_dtype)
+
+    bm = max(8, M)
+    if M < 8:
+        x = jnp.pad(x, ((0, 8 - M), (0, 0)))
+    if block_n is None:
+        block_n = flags.two_level_block_n()
+    bn = _round_block(block_n, 128, N)
+    n_pack = mult_packed.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(N, bn),),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda j, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda j, l: (l[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kh, bn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pack, bn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, l: (0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bm, K), jnp.int8),
+            pltpu.VMEM((bm, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_norm_qkv_a4_kernel,
+            n_groups=n_groups, group=group_size, eps=eps,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bm, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * N * K,
+            bytes_accessed=K * N // 2 + bm * K + bm * N * 2,
+            transcendentals=0,
+        ),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32),
+      x, norm_w.astype(jnp.float32).reshape(L, 1, K),
+      w_packed, mult_packed,
+      s_col.astype(jnp.float32).reshape(L, 1, N))
+    return out[:M]
+
+
 def fused_norm_qkv_stacked(
     x: jax.Array,          # (M, K) — residual stream (pre input-norm)
     norm_w: jax.Array,     # (L, K) — stacked input norm weights

@@ -510,15 +510,31 @@ def serving_forward_stacked(
             T == 1
             and tp_axis is None
             and isinstance(layer, FusedServingLayer)
-            and layer.qkv_proj.mode == "w4a8_2l"
-            and layer.qkv_proj.paired
+            and (
+                (layer.qkv_proj.mode == "w4a8_2l" and layer.qkv_proj.paired)
+                or layer.qkv_proj.mode == "w4a4_2l"
+            )
             and layer.qkv_proj.mult_packed is not None
             and layer.qkv_proj.in_scale is None
             and layer.qkv_proj.data.ndim == 3
             and flags.fused_qkv()
             and _serving_on_tpu()
         )
-        if fused_head:
+        if fused_head and layer.qkv_proj.mode == "w4a4_2l":
+            # A4 layer head: same one-pallas_call structure with the int4
+            # requant + vertical-layout GEMV (kernels/matmul.py
+            # fused_norm_qkv_stacked_a4).
+            from fastforward_tpu.kernels.matmul import fused_norm_qkv_stacked_a4
+
+            qp = layer.qkv_proj
+            qkv = fused_norm_qkv_stacked_a4(
+                x[:, 0, :], layer.input_norm, qp.data, qp.mult_packed,
+                qp.scale, l, group_size=qp.group_size, eps=eps,
+            )[:, None, :]
+            q = split_heads(qkv[..., : nh * d], nh)
+            k = split_heads(qkv[..., nh * d : (nh + nkv) * d], nkv)
+            v = split_heads(qkv[..., (nh + nkv) * d :], nkv)
+        elif fused_head:
             # One-pallas_call layer head: input RMSNorm + dynamic int8
             # requant + qkv GEMV (kernels/matmul.py:fused_norm_qkv_stacked)
             # — the norm/quant run at grid step 0 overlapped with the first

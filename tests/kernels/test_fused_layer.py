@@ -217,3 +217,33 @@ def test_serving_fused_qkv_knob_equivalence(monkeypatch):
     monkeypatch.setenv("FF_FUSED_QKV", "1")
     fused = run()
     np.testing.assert_allclose(base, fused, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_norm_qkv_a4_reference_matches_unfused():
+    """A4 layer-head oracle == rmsnorm -> quantize_rowwise_a4 -> A4 GEMV."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastforward_tpu.kernels.matmul import (
+        fused_norm_qkv_a4_reference,
+        matmul_w4a4_2l_reference,
+        quantize_rowwise_a4,
+    )
+
+    rng = np.random.RandomState(0)
+    M, K, N, g = 4, 256, 128, 128
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32))
+    nw = jnp.asarray(rng.rand(K).astype(np.float32) + 0.5)
+    wp = jnp.asarray(rng.randint(-128, 128, (K // 2, N)), jnp.int8)
+    m = jnp.asarray(rng.randint(1, 16, (K // g, N)), jnp.int8)
+    sc = jnp.asarray(rng.rand(N).astype(np.float32) * 0.01)
+
+    got = np.asarray(fused_norm_qkv_a4_reference(x, nw, wp, m, sc, g))
+    xf = np.asarray(x, np.float32)
+    inv = 1.0 / np.sqrt((xf ** 2).mean(1, keepdims=True) + 1e-5)
+    h = xf * inv * np.asarray(nw)[None, :]
+    h_q, h_s = quantize_rowwise_a4(jnp.asarray(h))
+    want = np.asarray(matmul_w4a4_2l_reference(
+        h_q, h_s, wp, m, sc, group_size=g, out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -30,6 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _default_group(mode: str) -> int:
+    # A4's dot-issue-bound kernel wants the 512-deep int4 dots; every other
+    # mode keeps the standard g=128 weight grids.
+    return 512 if mode == "w4a4_2l" else 128
+
+
 def _build(config, mode, batch, max_len, prefill_len, steps, seed=0):
     from fastforward_tpu.serving.stacked import (
         StackedKVCache,
@@ -38,7 +44,7 @@ def _build(config, mode, batch, max_len, prefill_len, steps, seed=0):
         serving_forward_stacked,
     )
 
-    group = int(os.environ.get("FF_BENCH_GROUP", "128"))
+    group = int(os.environ.get("FF_BENCH_GROUP", str(_default_group(mode))))
     params, stacked = random_stacked_params(
         config, mode=mode, seed=seed, group_size=group
     )
@@ -104,7 +110,7 @@ def measure_engine(config, mode, batch, steps, seed=0):
         random_stacked_params,
     )
 
-    group = int(os.environ.get("FF_BENCH_GROUP", "128"))
+    group = int(os.environ.get("FF_BENCH_GROUP", str(_default_group(mode))))
     params, stacked = random_stacked_params(
         config, mode=mode, seed=seed, group_size=group
     )
@@ -199,7 +205,12 @@ def main():
     # One whole-group MXU dot per N-panel instead of two small per-group
     # dots; measured 422 → 466 tok/s (batch 8) / 843 → 923 (batch 32) on
     # Llama-3-8B vs the float-per-group-scale kernel.
-    mode = os.environ.get("FF_BENCH_MODE", "w4a8_2l")
+    # r5 default: W4A4 two-level at group 512 — the int4-MXU GEMV with the
+    # fused A4 layer head measures 9,000-9,240 tok/s/chip at batch 192 vs
+    # 8,300-8,510 for W4A8 (interleaved A/B pairs; accuracy trade recorded
+    # in docs/accuracy.md, lm_head stays W4A8). FF_BENCH_MODE=w4a8_2l
+    # restores the A8 headline.
+    mode = os.environ.get("FF_BENCH_MODE", "w4a4_2l")
     # Default batch 192: decode throughput scales near-linearly with batch
     # (the weight-streaming GEMV panel traffic is M-independent) — 3,100 ->
     # 6,700 -> 8,100 tok/s/chip going 32 -> 128 -> 192. Batches above 128

@@ -70,6 +70,89 @@ class Pipeline:
             visit(name)
         return order
 
+    # -- graph manipulation (reference `export/pipeline/core.py:155-333`) --
+
+    def _check_known(self, name: str) -> None:
+        if name not in self._stages:
+            raise ExportError(f"No stage named {name!r} in pipeline {self.name!r}")
+
+    def _dependents_of(self, target: str) -> list[str]:
+        return [n for n, (_, deps) in self._stages.items() if target in deps]
+
+    def insert_stage_before(
+        self, target: str, stage: Stage, name: str,
+        depends_on: Optional[tuple[str, ...]] = None,
+    ) -> "Pipeline":
+        """Splice ``stage`` in so it runs immediately before ``target``: by
+        default it inherits ``target``'s dependencies and ``target`` is
+        rewired to depend on it. Explicit ``depends_on`` wires the new
+        stage only via the given names, leaving ``target`` untouched."""
+        self._check_known(target)
+        if name in self._stages:
+            raise ExportError(f"duplicate stage {name!r} in pipeline {self.name!r}")
+        fn, target_deps = self._stages[target]
+        if depends_on is None:
+            self._stages[name] = (stage, target_deps)
+            self._stages[target] = (fn, (name,))
+        else:
+            for dep in depends_on:
+                self._check_known(dep)
+            self._stages[name] = (stage, tuple(depends_on))
+        return self
+
+    def insert_stage_after(self, target: str, stage: Stage, name: str) -> "Pipeline":
+        """Insert ``stage`` immediately after ``target``: it depends on
+        ``target`` and every former dependent of ``target`` is rewired to
+        depend on the new stage (downstream sees its output)."""
+        self._check_known(target)
+        if name in self._stages:
+            raise ExportError(f"duplicate stage {name!r} in pipeline {self.name!r}")
+        for dep_name in self._dependents_of(target):
+            fn, deps = self._stages[dep_name]
+            self._stages[dep_name] = (
+                fn, tuple(name if d == target else d for d in deps)
+            )
+        self._stages[name] = (stage, (target,))
+        return self
+
+    def replace_stage(self, target: str, stage: Stage) -> "Pipeline":
+        """Swap ``target``'s callable in place (dependencies and dependents
+        preserved) — the drop-in replacement form."""
+        self._check_known(target)
+        _, deps = self._stages[target]
+        self._stages[target] = (stage, deps)
+        return self
+
+    def add_dependency(self, stage: str, dependency: str) -> "Pipeline":
+        """Add a ``stage`` -> ``dependency`` edge (idempotent; cycles are
+        rejected here rather than at run time)."""
+        self._check_known(stage)
+        self._check_known(dependency)
+        fn, deps = self._stages[stage]
+        if dependency in deps:
+            return self
+        self._stages[stage] = (fn, deps + (dependency,))
+        try:
+            self.stage_order()
+        except ExportError:
+            self._stages[stage] = (fn, deps)
+            raise ExportError(
+                f"adding dependency {dependency!r} to {stage!r} would "
+                f"introduce a cycle"
+            )
+        return self
+
+    def remove_dependency(self, stage: str, dependency: str) -> "Pipeline":
+        """Remove the ``stage`` -> ``dependency`` edge."""
+        self._check_known(stage)
+        fn, deps = self._stages[stage]
+        if dependency not in deps:
+            raise ExportError(
+                f"stage {stage!r} has no dependency {dependency!r}"
+            )
+        self._stages[stage] = (fn, tuple(d for d in deps if d != dependency))
+        return self
+
     def run(self, context: ExportContext) -> ExportContext:
         for name in self.stage_order():
             stage, _ = self._stages[name]

@@ -32,12 +32,15 @@ from fastforward_tpu.serving.stacked import (
 BATCH = int(os.environ.get("PD_BATCH", "32"))
 STEPS = int(os.environ.get("PD_STEPS", "32"))
 MODE = os.environ.get("PD_MODE", "w4a8_2l")
+GROUP = int(os.environ.get("PD_GROUP", "128"))
 TOP = int(os.environ.get("PD_TOP", "25"))
 
 
 def main():
     config = LlamaConfig.llama3_8b()
-    params, stacked = random_stacked_params(config, mode=MODE, seed=0)
+    params, stacked = random_stacked_params(
+        config, mode=MODE, seed=0, group_size=GROUP
+    )
     stacked = fuse_stacked_layers(stacked)
     max_len = 512
     cache = StackedKVCache.create(

@@ -329,3 +329,49 @@ def test_lpbq_decomposition_properties():
     # rounding to the nearest integer multiple: error <= per-channel step/2
     err = np.abs(recon - scale)
     assert (err <= per_ch[None, :] / 2 + 1e-7).all()
+
+
+def test_pipeline_graph_manipulation():
+    """insert_before/after, replace, add/remove edges (reference
+    `export/pipeline/core.py:155-333` semantics)."""
+    from fastforward_tpu.exceptions import ExportError
+    from fastforward_tpu.export.pipeline import ExportContext, Pipeline
+
+    log = []
+
+    def stage(tag):
+        def fn(ctx):
+            log.append(tag)
+        return fn
+
+    p = Pipeline("t")
+    p.add_stage("a", stage("a"))
+    p.add_stage("b", stage("b"), after=("a",))
+    p.add_stage("c", stage("c"), after=("b",))
+
+    # splice before: x inherits b's deps, b depends on x
+    p.insert_stage_before("b", stage("x"), "x")
+    # insert after: y depends on b; c rewired to depend on y
+    p.insert_stage_after("b", stage("y"), "y")
+    ctx = ExportContext(model=None, sample_args=(), output_dir="", name="t")
+    p.run(ctx)
+    assert log == ["a", "x", "b", "y", "c"]
+
+    # replace in place
+    log.clear()
+    p.replace_stage("x", stage("x2"))
+    p.run(ctx)
+    assert log == ["a", "x2", "b", "y", "c"]
+
+    # explicit-deps insert leaves target wiring alone (side branch)
+    p.insert_stage_before("c", stage("side"), "side", depends_on=("a",))
+    order = p.stage_order()
+    assert order.index("side") > order.index("a")
+
+    # edges: removing then re-adding
+    p.remove_dependency("c", "y")
+    p.add_dependency("c", "y")
+    with pytest.raises(ExportError, match="cycle"):
+        p.add_dependency("a", "c")
+    with pytest.raises(ExportError, match="no dependency"):
+        p.remove_dependency("a", "c")

@@ -302,10 +302,14 @@ class ContinuousBatchingEngine:
             # the per-row variant cost one ~50 ms relay round-trip PER ROW
             # at saturation (38% host_fraction at max_batch 32). `rows`
             # selects the admitted rows of the (batch-bucketed) small
-            # cache; `slots` is each one's destination slot.
+            # cache; `slots` is each one's destination slot. The small
+            # cache holds only the prompt bucket along S — the scatter
+            # writes the destination rows' prefix.
             def put(big, small_arr):
                 piece = jnp.take(small_arr, rows, axis=1)
-                return big.at[:, slots].set(piece.astype(big.dtype))
+                s_len = small_arr.shape[3]
+                idx = (slice(None), slots, slice(None), slice(0, s_len))
+                return big.at[idx].set(piece.astype(big.dtype))
 
             return StackedKVCache(
                 k=put(cache.k, small.k),
@@ -537,12 +541,28 @@ class ContinuousBatchingEngine:
                 self.cache, table=self._alloc.table_array()
             )
 
+    # Admission-transient KV budget: the bucketed group prefill allocates an
+    # (nb, small_len) KV transient; cap the group so it stays ~<=1 GiB next
+    # to the main slab + weights (a 192-row group at a 256 bucket is 3.2 GiB
+    # and OOM'd the headline-batch engine). Groups beyond the cap admit on
+    # the next _admit call — the scheduler loop re-enters every burst.
+    _ADMIT_KV_BUDGET = 1 << 30
+
     def _admit(self) -> None:
         free = [s for s in range(self.max_batch)
                 if self.slot_request[s] is None]
         if not free or not self._pending:
             return
         batch = self._pending[: len(free)]
+        if not self.paged and batch:
+            max_prompt = max(len(r.prompt) for r in batch)
+            sl = min(self.max_len, -(-min(_bucket(max_prompt), self.max_len) // 256) * 256)
+            per_row = (
+                2 * self.config.num_layers * self.config.num_kv_heads
+                * sl * self.config.head_dim
+            ) * (1 + 4 / self.config.head_dim)  # int8 kv + f32 scales
+            cap = max(1, int(self._ADMIT_KV_BUDGET // max(1.0, per_row)))
+            batch = batch[:cap]
         if self.paged:
             # Only admit the FIFO prefix whose pages fit the pool right
             # now — otherwise the prefill would run on device and the
@@ -586,8 +606,14 @@ class ContinuousBatchingEngine:
             page = self.cache.page_size
             small_len = -(-t_bucket // page) * page
         else:
-            # slab path: _scatter_row copies whole rows, shapes must match
-            small_len = self.max_len
+            # slab path: the batched scatter writes the bucket prefix of the
+            # destination rows, so the transient only needs the prompt
+            # bucket (a max_len x max_batch transient OOM'd the headline
+            # batch-192 engine: it duplicated the 6.4 GB KV slab), rounded
+            # to the flash-prefill kernel's 256 sequence blocking. Stale
+            # data beyond the prefix is never read: attention masks s <=
+            # pos and decode appends overwrite positions in order.
+            small_len = min(self.max_len, -(-t_bucket // 256) * 256)
         small = StackedKVCache.create(
             num_layers=self.config.num_layers, batch_size=nb,
             max_len=small_len, num_kv_heads=self.config.num_kv_heads,

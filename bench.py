@@ -168,17 +168,29 @@ def measure_engine(config, mode, batch, steps, seed=0):
     # the default trickle trace (one arrival per burst window), which is
     # admission-limited by construction (occupancy ~= a few slots).
     saturated = os.environ.get("FF_BENCH_ENGINE_SAT") == "1"
-    t0 = time.perf_counter()
-    submitted = 0
-    while submitted < len(arrivals) or engine.num_active or engine._pending:
-        take = len(arrivals) - submitted if saturated else min(
-            1, len(arrivals) - submitted
-        )
-        for _ in range(take):
-            engine.submit(arrivals[submitted], max_new_tokens=steps)
-            submitted += 1
-        engine.step_burst(burst)
-    dt = time.perf_counter() - t0
+
+    def run_trace(trace):
+        t0 = time.perf_counter()
+        submitted = 0
+        while submitted < len(trace) or engine.num_active or engine._pending:
+            take = len(trace) - submitted if saturated else min(
+                1, len(trace) - submitted
+            )
+            for _ in range(take):
+                engine.submit(trace[submitted], max_new_tokens=steps)
+                submitted += 1
+            engine.step_burst(burst)
+        return time.perf_counter() - t0
+
+    # Pass 1 compiles every admission-group bucket shape the trace produces
+    # (nb x t_bucket prefill programs); pass 2 is the measured loop.
+    # FF_BENCH_ENGINE_COLD=1 keeps the old single-pass (compile-included)
+    # behavior.
+    if os.environ.get("FF_BENCH_ENGINE_COLD") != "1":
+        run_trace(arrivals)
+        warm = sum(len(r.generated) for r in engine._done.values())
+        engine.stats = EngineStats()
+    dt = run_trace(list(arrivals))
     total = sum(len(r.generated) for r in engine._done.values()) - warm
     st = engine.stats
     # Relay-independent scheduling metrics (VERDICT r3 weak item 3): the

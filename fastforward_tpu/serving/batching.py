@@ -214,6 +214,33 @@ class ContinuousBatchingEngine:
             )
             return nxt.astype(jnp.int32), cache
 
+        @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(2,))
+        def _decode_burst_greedy(params, stacked, cache, n_steps, tokens,
+                                 positions):
+            """All-greedy burst: the fused GEMV+argmax head — the (B, 128k)
+            fp32 logits never materialize (bit-identical tokens to the
+            sampled path at temperature 0). Dispatched by `_run_burst` when
+            every active slot is greedy."""
+            from fastforward_tpu import flags as _flags
+
+            fused = _flags.fused_argmax()
+
+            def one(carry, _):
+                cache, tokens, positions = carry
+                tok, cache = serving_forward_stacked(
+                    params, stacked, cfg, tokens, cache=cache,
+                    positions=positions, greedy_head=fused,
+                )
+                if not fused:
+                    tok = jnp.argmax(tok[:, -1], axis=-1)
+                nxt = tok.astype(jnp.int32)
+                return (cache, nxt[:, None], positions + 1), nxt
+
+            (cache, _, _), toks = jax.lax.scan(
+                one, (cache, tokens, positions), None, length=n_steps
+            )
+            return toks, cache
+
         @functools.partial(jax.jit, static_argnums=(9,), donate_argnums=(2,))
         def _decode_burst(params, stacked, cache, tokens, positions,
                           temps, top_ks, top_ps, key, n_steps):
@@ -325,6 +352,7 @@ class ContinuousBatchingEngine:
 
         self._decode_step = _decode_step
         self._decode_burst = _decode_burst
+        self._decode_burst_greedy = _decode_burst_greedy
         self._prefill_batch = _prefill_batch
         self._prefill_chunk = _prefill_chunk
         self._scatter_row = _scatter_row
@@ -421,14 +449,25 @@ class ContinuousBatchingEngine:
         if self.num_active == 0:
             return
         self._key, sub = jax.random.split(self._key)
-        t0 = time.perf_counter()
-        toks, self.cache = self._decode_burst(
-            self.params, self.stacked, self.cache,
-            jnp.asarray(self.slot_token[:, None]),
-            jnp.asarray(self.slot_pos[:, None]),
-            jnp.asarray(self.slot_temp), jnp.asarray(self.slot_topk),
-            jnp.asarray(self.slot_topp), sub, n,
+        all_greedy = all(
+            self.slot_temp[slot] == 0.0
+            for slot, r in enumerate(self.slot_request) if r is not None
         )
+        t0 = time.perf_counter()
+        if all_greedy:
+            toks, self.cache = self._decode_burst_greedy(
+                self.params, self.stacked, self.cache, n,
+                jnp.asarray(self.slot_token[:, None]),
+                jnp.asarray(self.slot_pos[:, None]),
+            )
+        else:
+            toks, self.cache = self._decode_burst(
+                self.params, self.stacked, self.cache,
+                jnp.asarray(self.slot_token[:, None]),
+                jnp.asarray(self.slot_pos[:, None]),
+                jnp.asarray(self.slot_temp), jnp.asarray(self.slot_topk),
+                jnp.asarray(self.slot_topp), sub, n,
+            )
         toks = np.asarray(toks)  # (n, B)
         self.stats.decode_seconds += time.perf_counter() - t0
         self.stats.decode_calls += 1

@@ -52,18 +52,24 @@ def main():
         np.random.RandomState(0).randint(0, config.vocab_size, (BATCH, 128))
     )
     prefill = jax.jit(
-        lambda p, s, c, i: serving_forward_stacked(p, s, config, i, cache=c)
+        lambda p, s, c, i: serving_forward_stacked(
+            p, s, config, i, cache=c, logits_positions="last"
+        ),
+        donate_argnums=(2,),
     )
+    # The loop donates its cache (required to fit batch 192: two live
+    # slabs + weights exceed HBM) — run warmup and the traced call on
+    # cache generations chained through the donation.
     logits, cache = prefill(params, stacked, cache, ids)
     token = jnp.argmax(logits[:, -1], axis=-1).astype(ids.dtype)[:, None]
     loop = make_stacked_decode_loop(config, num_steps=STEPS)
-    tokens, cache2 = loop(params, stacked, cache, token)
+    tokens, cache = loop(params, stacked, cache, token)
     tokens.block_until_ready()
 
     logdir = "/tmp/ff_profile"
     os.system(f"rm -rf {logdir}")
     jax.profiler.start_trace(logdir)
-    tokens, cache2 = loop(params, stacked, cache, token)
+    tokens, cache = loop(params, stacked, cache, token)
     tokens.block_until_ready()
     np.asarray(tokens[0, -1])
     jax.profiler.stop_trace()

@@ -118,4 +118,50 @@ np.testing.assert_allclose(out, np.asarray(ref), rtol=0.2, atol=0.2)
 assert "scan" in str(jax.make_jaxpr(plan.quantized())(xs, ws))
 print("jaxpr-pass QDQ matches fp within int8 noise; scan preserved")
 
+# %% [markdown]
+# ## Bridging the jaxpr plan and the module quantizer stack
+#
+# Tracing under `scoped_forward(model)` stamps each site with the module
+# that executed it, connecting the two worlds: a module-path
+# `QuantizationConfig` can drive quantizer installation on the plan
+# (`install_from_config`), and a calibrated plan can push its quantizers
+# back onto the model's slots (`apply_to_module`).
+
+# %%
+from flax import nnx
+
+from fastforward_tpu import nn as ffnn, range_setting
+from fastforward_tpu.autoquant_jaxpr import scoped_forward
+
+
+class TinyNet(nnx.Module):
+    def __init__(self, *, rngs):
+        self.fc1 = nnx.Linear(16, 32, rngs=rngs)
+        self.fc2 = nnx.Linear(32, 8, rngs=rngs)
+
+    def __call__(self, x):
+        return self.fc2(jax.nn.relu(self.fc1(x)))
+
+
+model = TinyNet(rngs=nnx.Rngs(0))
+x = jnp.asarray(np.random.RandomState(2).randn(4, 16), jnp.float32)
+with scoped_forward(model):
+    plan2 = ff.trace_quantization_sites(lambda x: model(x), x)
+print({s.name: s.module_path for s in plan2.sites})
+assert plan2.sites[0].module_path == "fc1"
+
+# a module-path config drives the plan's quantizer installation
+ffnn.quantize_model(model)
+qcfg = ff.QuantizationConfig()
+qcfg.add_rule("**/[quantizer:parameter/weight]", ffnn.LinearQuantizer,
+              num_bits=8, symmetric=True)
+plan2.install_from_config(qcfg, model,
+                          estimator=range_setting.running_minmax)
+plan2.observe(x)
+
+# ...and the calibrated plan pushes its quantizers onto the module slots
+applied = plan2.apply_to_module(model)
+print("module slots calibrated from the plan:", applied)
+assert applied == 2
+
 print("autoquant tutorial OK")

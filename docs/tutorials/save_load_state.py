@@ -132,9 +132,11 @@ else:
 # %%
 lazy_model = build_and_place()  # placed, NOT calibrated
 lazy_path = os.path.join(tmp, "lazy_state")
-save_quantization_state(lazy_model, lazy_path)
+# lazy (uncalibrated) parameters are opt-in on both sides — without the
+# flag, save/load raise instead of silently shipping an uncalibrated state
+save_quantization_state(lazy_model, lazy_path, allow_lazy_params=True)
 lazy_fresh = build_and_place()
-load_quantization_state(lazy_fresh, lazy_path)
+load_quantization_state(lazy_fresh, lazy_path, allow_lazy_params=True)
 with ff.flags.strict_quantization(False):
     with ff.estimate_ranges(lazy_fresh, ff.range_setting.running_minmax):
         lazy_fresh(x)

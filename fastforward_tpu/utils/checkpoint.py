@@ -56,8 +56,22 @@ def _quantizer_config(quantizer: Quantizer) -> dict[str, Any]:
     return config
 
 
-def save_quantization_state(model: Any, path: str) -> None:
-    """Write ``<path>/config.yaml`` + ``<path>/quantizers.safetensors``."""
+def save_quantization_state(
+    model: Any,
+    path: str,
+    *,
+    name_or_path: Optional[str] = None,
+    allow_lazy_params: bool = False,
+) -> None:
+    """Write ``<path>/config.yaml`` + ``<path>/quantizers.safetensors``.
+
+    ``name_or_path``: optional model identity recorded in the state file —
+    loading against a different identity warns (reference
+    `quantized_module.py:369-444` same-named argument).
+    ``allow_lazy_params``: quantizers with uninitialized (lazy) parameters
+    raise unless set — the silent ``::lazy`` markers are opt-in, matching
+    the reference's `allow_lazy_params=False` default (`:446-470`).
+    """
     from safetensors.numpy import save_file
 
     os.makedirs(path, exist_ok=True)
@@ -73,6 +87,15 @@ def save_quantization_state(model: Any, path: str) -> None:
             continue
         seen[id(quantizer)] = name
         config = _quantizer_config(quantizer)
+        lazy = [
+            p for p, key in config["params"].items() if key == LAZY_MARKER
+        ]
+        if lazy and not allow_lazy_params:
+            raise QuantizationError(
+                f"Quantizer at {name!r} has uninitialized (lazy) parameters "
+                f"{lazy}; calibrate first or pass allow_lazy_params=True to "
+                f"record them as lazy markers."
+            )
         for param_name, key in list(config["params"].items()):
             if key in (None, LAZY_MARKER):
                 continue
@@ -82,31 +105,77 @@ def save_quantization_state(model: Any, path: str) -> None:
             config["params"][param_name] = tensor_key
         configs[name] = config
 
+    meta: dict[str, Any] = {"version": FORMAT_VERSION, "quantizers": configs}
+    if name_or_path is not None:
+        meta["name_or_path"] = name_or_path
     with open(os.path.join(path, "config.yaml"), "w") as f:
-        yaml.safe_dump({"version": FORMAT_VERSION, "quantizers": configs}, f)
+        yaml.safe_dump(meta, f)
     save_file(tensors, os.path.join(path, "quantizers.safetensors"))
 
 
 def load_quantization_state(
-    model: Any, path: str, overwrite_policy: str = "overwrite"
+    model: Any,
+    path: str,
+    overwrite_policy: str = "overwrite",
+    *,
+    name_or_path: Optional[str] = None,
+    allow_lazy_params: bool = False,
 ) -> None:
     """Reconstruct quantizers from a saved state onto ``model`` (in place).
 
     ``overwrite_policy``: "error" | "skip" | "overwrite" for slots already
     holding non-stub quantizers (reference `quantized_module.py:630-652`).
+    ``name_or_path``: when given and the state recorded a different
+    identity, a warning is emitted (reference `:259-290` protocol).
+    ``allow_lazy_params``: states containing ``::lazy`` markers raise
+    unless set (the loaded quantizer would be silently uncalibrated).
     """
+    import warnings
+
     from flax import nnx
 
     from fastforward_tpu import mpath
     from safetensors.numpy import load_file
 
-    with open(os.path.join(path, "config.yaml")) as f:
+    config_file = os.path.join(path, "config.yaml")
+    model_file = os.path.join(path, "quantizers.safetensors")
+    if not os.path.exists(config_file):
+        raise QuantizationError(
+            f"Quantization state config not found: {config_file}"
+        )
+    if not os.path.exists(model_file):
+        raise QuantizationError(
+            f"Quantization state tensors not found: {model_file}"
+        )
+    with open(config_file) as f:
         saved = yaml.safe_load(f)
     if saved.get("version") != FORMAT_VERSION:
         raise QuantizationError(
             f"Unsupported quantization state version {saved.get('version')}"
         )
-    tensors = load_file(os.path.join(path, "quantizers.safetensors"))
+    stored_name = saved.get("name_or_path")
+    if (
+        name_or_path is not None
+        and stored_name is not None
+        and stored_name != name_or_path
+    ):
+        warnings.warn(
+            f"Quantization state was saved for {stored_name!r} but is being "
+            f"loaded for {name_or_path!r}",
+            stacklevel=2,
+        )
+    if not allow_lazy_params:
+        lazy_names = [
+            n for n, c in saved["quantizers"].items()
+            if any(v == LAZY_MARKER for v in c.get("params", {}).values())
+        ]
+        if lazy_names:
+            raise QuantizationError(
+                f"Quantization state contains lazy (uncalibrated) quantizers "
+                f"{lazy_names}; pass allow_lazy_params=True to load them "
+                f"uninitialized."
+            )
+    tensors = load_file(model_file)
 
     built: dict[str, Quantizer] = {}
 

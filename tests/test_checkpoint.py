@@ -75,10 +75,20 @@ def test_save_load_roundtrip(tmp_path):
 
 def test_save_lazy_quantizer(tmp_path):
     model = _quantized_mlp(initialized=False)
-    save_quantization_state(model, str(tmp_path / "state"))
+    # lazy params are opt-in at save AND at load (reference
+    # `quantized_module.py:446-470` allow_lazy_params protocol)
+    with pytest.raises(ff.QuantizationError, match="lazy"):
+        save_quantization_state(model, str(tmp_path / "state"))
+    save_quantization_state(
+        model, str(tmp_path / "state"), allow_lazy_params=True
+    )
     fresh = MLP(rngs=nnx.Rngs(0))
     ffnn.quantize_model(fresh)
-    load_quantization_state(fresh, str(tmp_path / "state"))
+    with pytest.raises(ff.QuantizationError, match="lazy"):
+        load_quantization_state(fresh, str(tmp_path / "state"))
+    load_quantization_state(
+        fresh, str(tmp_path / "state"), allow_lazy_params=True
+    )
     assert isinstance(fresh.fc1.weight_quantizer, ffnn.LinearQuantizer)
     assert fresh.fc1.weight_quantizer.has_uninitialized_params
 
@@ -149,3 +159,70 @@ def test_orbax_roundtrip_quantized_pytree(tmp_path):
         np.asarray(restored["layer"]["w"].dequantize()),
         np.asarray(qa.dequantize()),
     )
+
+
+def test_state_name_or_path_mismatch_warns(tmp_path):
+    """Identity recording + mismatch warning (reference
+    `test_quantized_module_quantization_state.py:259-290`)."""
+    import warnings
+
+    model = _quantized_mlp()
+    save_quantization_state(
+        model, str(tmp_path / "state"), name_or_path="llama-8b"
+    )
+    fresh = MLP(rngs=nnx.Rngs(0))
+    ffnn.quantize_model(fresh)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        load_quantization_state(
+            fresh, str(tmp_path / "state"), name_or_path="gpt2"
+        )
+    assert any("llama-8b" in str(x.message) for x in w)
+    # matching identity: silent
+    fresh2 = MLP(rngs=nnx.Rngs(0))
+    ffnn.quantize_model(fresh2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        load_quantization_state(
+            fresh2, str(tmp_path / "state"), name_or_path="llama-8b"
+        )
+    assert not any("saved for" in str(x.message) for x in w)
+
+
+def test_state_missing_files_error(tmp_path):
+    """Clean errors for missing config/tensor files (reference `:205-233`)."""
+    model = _quantized_mlp()
+    with pytest.raises(ff.QuantizationError, match="config not found"):
+        load_quantization_state(model, str(tmp_path / "nowhere"))
+    save_quantization_state(model, str(tmp_path / "state"))
+    (tmp_path / "state" / "quantizers.safetensors").unlink()
+    with pytest.raises(ff.QuantizationError, match="tensors not found"):
+        load_quantization_state(model, str(tmp_path / "state"))
+
+
+def test_state_unsupported_version_errors(tmp_path):
+    """Version gate (reference `:235-257`)."""
+    import yaml
+
+    model = _quantized_mlp()
+    save_quantization_state(model, str(tmp_path / "state"))
+    cfg = tmp_path / "state" / "config.yaml"
+    saved = yaml.safe_load(cfg.read_text())
+    saved["version"] = "99.0"
+    cfg.write_text(yaml.safe_dump(saved))
+    fresh = MLP(rngs=nnx.Rngs(0))
+    ffnn.quantize_model(fresh)
+    with pytest.raises(ff.QuantizationError, match="version"):
+        load_quantization_state(fresh, str(tmp_path / "state"))
+
+
+def test_state_overwrite_policy_skip(tmp_path):
+    """policy="skip" leaves an existing quantizer untouched (reference
+    `:338-380` load-into-existing protocol)."""
+    model = _quantized_mlp()
+    save_quantization_state(model, str(tmp_path / "state"))
+    existing = model.fc1.weight_quantizer
+    load_quantization_state(
+        model, str(tmp_path / "state"), overwrite_policy="skip"
+    )
+    assert model.fc1.weight_quantizer is existing

@@ -31,6 +31,9 @@ def main():
 
     model = os.environ.get("TTFT_MODEL", "8b")
     mode = os.environ.get("TTFT_MODE", "w4a8_2l")
+    group = int(os.environ.get(
+        "TTFT_GROUP", "512" if mode == "w4a4_2l" else "128"
+    ))
     batch = int(os.environ.get("TTFT_BATCH", "1"))
     lens = [int(s) for s in os.environ.get("TTFT_LENS", "128,512,1024").split(",")]
     repeats = int(os.environ.get("TTFT_REPEATS", "5"))
@@ -41,7 +44,7 @@ def main():
         "tiny": LlamaConfig.tiny(),
     }[model]
 
-    params, stacked = random_stacked_params(config, mode=mode, seed=0)
+    params, stacked = random_stacked_params(config, mode=mode, group_size=group, seed=0)
     if not mode.startswith("sim"):
         stacked = fuse_stacked_layers(stacked)
 

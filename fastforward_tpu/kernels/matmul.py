@@ -1721,6 +1721,74 @@ def dequantize_int4_paired_stacked(
       s_col.astype(jnp.float32).reshape(L, 1, N))
 
 
+def _dequant_int4_vertical_stacked_kernel(
+    l_ref, wp_ref, m_ref, sc_ref, out_ref,
+):
+    # Vertical-layout analog of `_dequant_int4_paired_stacked_kernel`: one
+    # bitcast restores the group's rows in order (no nibble math at all).
+    w4 = pltpu.bitcast(wp_ref[0], jnp.int4)
+    s_eff = (
+        m_ref[0, 0, 0].astype(jnp.float32) * sc_ref[0, 0].astype(jnp.float32)
+    ).astype(jnp.bfloat16)
+    out_ref[:, :] = w4.astype(jnp.bfloat16) * s_eff
+
+
+def dequantize_int4_vertical_stacked(
+    w_packed: jax.Array,   # (L, K//2, N) vertical layout
+    mult: jax.Array,       # (L, n_groups, N) int
+    s_col: jax.Array,      # (L, N) f32
+    layer: jax.Array,
+    group_size: int = 512,
+    block_n: int = 512,
+) -> jax.Array:
+    """Layer-indexed dequant of vertical-layout W4A4 weights to bf16.
+
+    The W4A4 prefill companion of `dequantize_int4_paired_stacked`:
+    without it, prefill-shaped `call_layer` fell to the generic per-layer
+    slice fallback, which cost 2.3x TTFT at prompt 512 (362 vs 157 ms —
+    measured via `scripts/ttft.py` before this kernel).
+    """
+    L, K2, N = w_packed.shape
+    K = K2 * 2
+    n_groups = K // group_size
+    half = group_size // 2
+    if not _on_tpu():
+        wl = jax.lax.dynamic_index_in_dim(w_packed, layer, keepdims=False)
+        ml = jax.lax.dynamic_index_in_dim(mult, layer, keepdims=False)
+        sl = jax.lax.dynamic_index_in_dim(s_col, layer, keepdims=False)
+        s_eff = ml.astype(jnp.float32) * sl[None, :]
+        return dequantize_int4_vertical(wl, s_eff, group_size)
+    bn = _round_block(block_n, 128, N)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups, pl.cdiv(N, bn)),
+        in_specs=[
+            pl.BlockSpec((1, half, bn), lambda g, j, l: (l[0], g, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bn), lambda g, j, l: (l[0], g, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda g, j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group_size, bn), lambda g, j, l: (g, j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _dequant_int4_vertical_stacked_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, N), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=K * N, bytes_accessed=K * N // 2 + K * N * 2,
+            transcendentals=0,
+        ),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32),
+      w_packed, mult.reshape(L, n_groups, 1, N),
+      s_col.astype(jnp.float32).reshape(L, 1, N))
+
+
 # =============================================================================
 # W4A16: packed int4 per-group weights, bf16 activations (weight-only)
 # =============================================================================

@@ -209,6 +209,29 @@ class QuantLinear:
             )
             return out.reshape(*lead, -1)
         if (
+            self.mode == "w4a4_2l"
+            and self.mult is not None
+            and x2.shape[0] > _GEMV_MAX_M
+            and _on_tpu()
+        ):
+            # Prefill-shaped stacked W4A4: layer-indexed vertical dequant —
+            # no per-layer slice of packed weights is ever materialized
+            # (2.3x TTFT at prompt 512 without it; kernels/matmul.py
+            # dequantize_int4_vertical_stacked). Activations on the A4 grid
+            # expanded to bf16, matching __call__'s prefill policy.
+            from fastforward_tpu.kernels.matmul import (
+                dequantize_int4_vertical_stacked,
+            )
+
+            x_q, x_s = quantize_rowwise_a4(x2)
+            w = dequantize_int4_vertical_stacked(
+                self.data, self.mult, self.scale, layer,
+                group_size=self.group_size,
+            )
+            xb = (x_q.astype(jnp.float32) * x_s[:, None]).astype(jnp.bfloat16)
+            out = jax.lax.dot(xb, w, preferred_element_type=jnp.float32)
+            return out.astype(out_dtype).reshape(*lead, -1)
+        if (
             self.mode == "w4a8_2l"
             and self.paired
             and self.mult is not None

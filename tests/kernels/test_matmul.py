@@ -656,3 +656,25 @@ def test_quantlinear_w4a4_mode_and_call_layer():
         stacked.call_layer(jnp.asarray(x), jnp.asarray(1), out_dtype=jnp.float32)
     )
     np.testing.assert_array_equal(got, out)
+
+
+def test_dequantize_int4_vertical_stacked_cpu_matches_manual():
+    from fastforward_tpu.kernels.matmul import dequantize_int4_vertical_stacked
+    from fastforward_tpu.kernels.packing import unpack_int4_vertical
+
+    rng = np.random.RandomState(5)
+    L, K, N, g = 2, 256, 128, 64
+    wp = jnp.asarray(rng.randint(-128, 128, (L, K // 2, N)), jnp.int8)
+    mult = jnp.asarray(rng.randint(1, 16, (L, K // g, N)), jnp.int8)
+    s_col = jnp.asarray(rng.rand(L, N).astype(np.float32) * 0.01)
+    for layer in range(L):
+        got = np.asarray(dequantize_int4_vertical_stacked(
+            wp, mult, s_col, jnp.asarray(layer), group_size=g
+        ), np.float32)
+        v = np.asarray(unpack_int4_vertical(wp[layer])).reshape(K // g, g, N)
+        s_eff = (np.asarray(mult[layer], np.float32)
+                 * np.asarray(s_col[layer])[None, :])
+        want = (v.astype(np.float32) * s_eff[:, None, :]).reshape(K, N)
+        np.testing.assert_allclose(
+            got, want.astype(np.float32), rtol=1e-2, atol=1e-2
+        )
